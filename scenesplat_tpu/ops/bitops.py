@@ -1,0 +1,173 @@
+"""48-bit code arithmetic on uint32 pairs.
+
+Space-filling-curve codes need up to 3*16 = 48 bits (reference:
+pointcept/models/utils/structure.py:64-74 limits serialization depth to 16).
+Rather than enabling global x64 in JAX (which changes default dtypes and hurts
+TPU performance), codes are carried as a pair of uint32 lanes:
+
+    ``hi`` = bits [24, 48)     ``lo`` = bits [0, 24)
+
+Each lane holds at most 24 bits, so lexicographic comparison of (hi, lo) is
+exactly comparison of the 48-bit value, and ``jax.lax.sort(..., num_keys=2)``
+sorts codes natively on TPU. A sentinel ``hi`` above 2**24 marks padding and
+sorts after every real code.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MASK24 = jnp.uint32(0x00FFFFFF)
+# Padding sentinel: larger than any valid 24-bit hi lane, survives >>3 shifts.
+SENTINEL_HI = jnp.uint32(0x7FFFFFFF)
+
+
+def pair_shift_right(hi: jnp.ndarray, lo: jnp.ndarray, k: int):
+    """Logical right shift of the 48-bit (hi, lo) pair by static ``k`` bits."""
+    if k == 0:
+        return hi, lo
+    if k < 24:
+        new_hi = hi >> k
+        new_lo = ((lo >> k) | (hi << (24 - k))) & MASK24
+    else:
+        new_hi = jnp.zeros_like(hi)
+        new_lo = (hi >> (k - 24)) & MASK24
+    return new_hi, new_lo
+
+
+def pair_xor(ahi, alo, bhi, blo):
+    return ahi ^ bhi, alo ^ blo
+
+
+def pair_less(ahi, alo, bhi, blo):
+    """a < b for 48-bit pairs."""
+    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+
+
+def pair_equal(ahi, alo, bhi, blo):
+    return (ahi == bhi) & (alo == blo)
+
+
+def spread3_u8(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 8 bits of ``v`` so bit i lands at bit 3*i (24-bit out)."""
+    v = v.astype(jnp.uint32) & jnp.uint32(0xFF)
+    v = (v | (v << 8)) & jnp.uint32(0x00F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x0C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x249249)
+    return v
+
+
+def compact3_u8(v: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`spread3_u8`: collect every 3rd bit into low 8 bits."""
+    v = v.astype(jnp.uint32) & jnp.uint32(0x249249)
+    v = (v | (v >> 2)) & jnp.uint32(0x0C30C3)
+    v = (v | (v >> 4)) & jnp.uint32(0x00F00F)
+    v = (v | (v >> 8)) & jnp.uint32(0x0000FF)
+    return v
+
+
+def interleave3_pair(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, depth: int):
+    """Bit-interleave three ``depth``-bit coords, x highest per triple.
+
+    Bit i of x -> output bit 3i+2, y -> 3i+1, z -> 3i (matching the reference
+    z-order layout, pointcept/models/utils/serialization/z_order.py:40-50).
+    Returns the 48-bit code as a (hi, lo) uint32 pair.
+    """
+    assert 0 < depth <= 16
+    x = x.astype(jnp.uint32) & jnp.uint32((1 << depth) - 1)
+    y = y.astype(jnp.uint32) & jnp.uint32((1 << depth) - 1)
+    z = z.astype(jnp.uint32) & jnp.uint32((1 << depth) - 1)
+    lo = (spread3_u8(x) << 2) | (spread3_u8(y) << 1) | spread3_u8(z)
+    if depth > 8:
+        hi = (
+            (spread3_u8(x >> 8) << 2)
+            | (spread3_u8(y >> 8) << 1)
+            | spread3_u8(z >> 8)
+        )
+    else:
+        hi = jnp.zeros_like(lo)
+    return hi, lo
+
+
+def deinterleave3_pair(hi: jnp.ndarray, lo: jnp.ndarray):
+    """Inverse of :func:`interleave3_pair`; returns (x, y, z) int32."""
+    x = compact3_u8(lo >> 2) | (compact3_u8(hi >> 2) << 8)
+    y = compact3_u8(lo >> 1) | (compact3_u8(hi >> 1) << 8)
+    z = compact3_u8(lo) | (compact3_u8(hi) << 8)
+    return x.astype(jnp.int32), y.astype(jnp.int32), z.astype(jnp.int32)
+
+
+def pair_prefix_xor(hi: jnp.ndarray, lo: jnp.ndarray, total_bits: int):
+    """Gray -> binary decode: v ^= v >> s for s = 1, 2, 4, ... < total_bits.
+
+    Operates on the 48-bit pair; high bits above ``total_bits`` must be zero.
+    """
+    shift = 1
+    while shift < total_bits:
+        shi, slo = pair_shift_right(hi, lo, shift)
+        hi, lo = hi ^ shi, lo ^ slo
+        shift *= 2
+    return hi, lo
+
+
+def lexsort_pair(hi: jnp.ndarray, lo: jnp.ndarray, axis: int = -1):
+    """Stable sort of 48-bit pairs along ``axis``.
+
+    Returns (sorted_hi, sorted_lo, order) where ``order`` holds the source
+    index of each sorted slot (int32).
+    """
+    n = hi.shape[axis]
+    iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, hi.ndim + axis if axis < 0 else axis)
+    sorted_hi, sorted_lo, order = jax.lax.sort(
+        (hi, lo, iota), dimension=axis % hi.ndim, num_keys=2, is_stable=True
+    )
+    del n
+    return sorted_hi, sorted_lo, order
+
+
+def invert_order(order: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Given a permutation ``order`` (sorted slot -> source index), return the
+    inverse permutation (source index -> sorted slot)."""
+    axis = axis % order.ndim
+    iota = jax.lax.broadcasted_iota(jnp.int32, order.shape, axis)
+    # inverse[order[j]] = j, per batch slice: sort by order as key.
+    _, inverse = jax.lax.sort((order, iota), dimension=axis, num_keys=1, is_stable=True)
+    return inverse
+
+
+def searchsorted_pair(
+    data_hi: jnp.ndarray,
+    data_lo: jnp.ndarray,
+    query_hi: jnp.ndarray,
+    query_lo: jnp.ndarray,
+) -> jnp.ndarray:
+    """Vectorized lower-bound binary search over sorted 48-bit pairs.
+
+    ``data_*``: sorted arrays of shape [N]. ``query_*``: any shape. Returns the
+    first index where data >= query (in [0, N]). Branchless fixed-trip-count
+    loop so it stays jit/vmap friendly. This is the TPU-native replacement for
+    the reference's spconv hash-table voxel lookup.
+    """
+    n = data_hi.shape[0]
+    n_iter = max(1, (n).bit_length())
+
+    left = jnp.zeros(query_hi.shape, jnp.int32)
+    right = jnp.full(query_hi.shape, n, jnp.int32)
+
+    def body(_, carry):
+        left, right = carry
+        active = left < right
+        mid = (left + right) // 2
+        mid_c = jnp.clip(mid, 0, n - 1)
+        mhi = data_hi[mid_c]
+        mlo = data_lo[mid_c]
+        less = pair_less(mhi, mlo, query_hi, query_lo)  # data[mid] < query
+        new_left = jnp.where(less, mid + 1, left)
+        new_right = jnp.where(less, right, mid)
+        left = jnp.where(active, new_left, left)
+        right = jnp.where(active, new_right, right)
+        return left, right
+
+    left, right = jax.lax.fori_loop(0, n_iter + 1, body, (left, right))
+    return left
