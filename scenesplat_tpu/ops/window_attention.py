@@ -1,0 +1,120 @@
+"""Serialized window (patch) attention.
+
+TPU-native replacement for the reference's flash_attn_varlen over serialized
+patches (pointcept/models/point_transformer_v3/point_transformer_v3m1_base.py:172-222).
+The reference pads every scene to a multiple of ``patch_size`` by duplicating
+points; here the batch is already a fixed padded [B, N] layout with padding
+sorted last, so attention is plain block-diagonal attention over contiguous
+patches of the sorted sequence with a key-validity mask — exactly the shape the
+MXU wants: [B*P, H, K, K] batched matmuls.
+
+Two implementations:
+  - ``window_attention_reference``: pure-jnp, scanned over patch chunks to
+    bound memory. Differentiable, used as ground truth.
+  - a Pallas flash-window kernel (ops/pallas_attn.py) that keeps the K x K
+    score tile in VMEM and never materializes scores in HBM — the default on
+    TPU (see ``window_attention``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def _patch_attention(q, k, v, key_valid, scale, upcast_softmax=True):
+    """q,k,v: [..., K, H, D]; key_valid: [..., K] bool."""
+    qh = jnp.swapaxes(q, -2, -3)  # [..., H, K, D]
+    kh = jnp.swapaxes(k, -2, -3)
+    vh = jnp.swapaxes(v, -2, -3)
+    scores = jnp.einsum(
+        "...hqd,...hkd->...hqk", qh * scale, kh, preferred_element_type=jnp.float32
+    )
+    bias = jnp.where(key_valid[..., None, None, :], 0.0, NEG_INF)
+    scores = scores + bias
+    if upcast_softmax:
+        scores = scores.astype(jnp.float32)
+    attn = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
+    out = jnp.einsum(
+        "...hqk,...hkd->...hqd", attn, vh, preferred_element_type=jnp.float32
+    ).astype(vh.dtype)
+    return jnp.swapaxes(out, -2, -3)  # [..., K, H, D]
+
+
+def window_attention_reference(
+    qkv_sorted: jnp.ndarray,
+    valid_sorted: jnp.ndarray,
+    patch_size: int,
+    num_heads: int,
+    scale: float | None = None,
+    patch_chunk: int = 8,
+) -> jnp.ndarray:
+    """Block-diagonal attention over serialized patches (jnp reference).
+
+    qkv_sorted: [B, N, 3, H*D] already gathered into curve order.
+    valid_sorted: [B, N] bool — padding keys are masked out.
+    Returns [B, N, H*D]. ``patch_chunk`` patches are processed per scan step
+    to keep the score tensor off HBM.
+    """
+    b, n, three, c = qkv_sorted.shape
+    assert three == 3 and n % patch_size == 0
+    h = num_heads
+    d = c // h
+    if scale is None:
+        scale = d**-0.5
+    p = n // patch_size
+
+    qkv = qkv_sorted.reshape(b, p, patch_size, 3, h, d)
+    valid = valid_sorted.reshape(b, p, patch_size)
+
+    # pad patch count to a multiple of patch_chunk
+    pad = (-p) % patch_chunk
+    if pad:
+        qkv = jnp.concatenate(
+            [qkv, jnp.zeros((b, pad) + qkv.shape[2:], qkv.dtype)], axis=1
+        )
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((b, pad, patch_size), bool)], axis=1
+        )
+    chunks = (p + pad) // patch_chunk
+    qkv = qkv.reshape(b, chunks, patch_chunk, patch_size, 3, h, d)
+    valid = valid.reshape(b, chunks, patch_chunk, patch_size)
+
+    def step(_, xs):
+        qkv_c, valid_c = xs  # [B, chunk, K, 3, H, D], [B, chunk, K]
+        q, k, v = qkv_c[..., 0, :, :], qkv_c[..., 1, :, :], qkv_c[..., 2, :, :]
+        out = _patch_attention(q, k, v, valid_c, scale)
+        return None, out
+
+    _, out = jax.lax.scan(
+        step, None, (jnp.swapaxes(qkv, 0, 1), jnp.swapaxes(valid, 0, 1))
+    )
+    out = jnp.swapaxes(out, 0, 1)  # [B, chunks, chunk, K, H, D]
+    out = out.reshape(b, (p + pad) * patch_size, c)
+    return out[:, : n]
+
+
+def window_attention(
+    qkv_sorted: jnp.ndarray,
+    valid_sorted: jnp.ndarray,
+    patch_size: int,
+    num_heads: int,
+    scale: float | None = None,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Dispatch to the Pallas flash-window kernel on TPU, else the jnp path."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pallas_attn import flash_window_attention
+
+        return flash_window_attention(
+            qkv_sorted, valid_sorted, patch_size, num_heads, scale
+        )
+    return window_attention_reference(
+        qkv_sorted, valid_sorted, patch_size, num_heads, scale
+    )

@@ -1,14 +1,20 @@
-"""Test configuration: force an 8-device CPU platform before JAX import so
-multi-chip sharding paths can be exercised without TPU hardware."""
+"""Test configuration: force an 8-device CPU platform before any backend
+initialization so multi-chip sharding paths can be exercised without TPU
+hardware. Note: this machine presets JAX_PLATFORMS=axon and overrides the env
+var at import time, so the config API (which wins) is used instead."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -31,6 +37,15 @@ def load_reference_module(relpath: str, name: str):
     except Exception:
         return None
     return mod
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_backend():
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the forced-CPU platform, got "
+        f"{jax.default_backend()}"
+    )
+    assert jax.device_count() >= 8
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,91 @@
+"""Window attention: jnp reference vs numpy brute force; Pallas kernel
+(interpret mode on CPU) vs the jnp reference, values and gradients."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from scenesplat_tpu.ops import window_attention as wa
+
+
+def brute_force(qkv, valid, patch, heads, scale):
+    b, n, _, c = qkv.shape
+    d = c // heads
+    out = np.zeros((b, n, c), np.float32)
+    for bi in range(b):
+        for p0 in range(0, n, patch):
+            sl = slice(p0, p0 + patch)
+            q = qkv[bi, sl, 0].reshape(patch, heads, d)
+            k = qkv[bi, sl, 1].reshape(patch, heads, d)
+            v = qkv[bi, sl, 2].reshape(patch, heads, d)
+            for h in range(heads):
+                s = (q[:, h] * scale) @ k[:, h].T
+                s[:, ~valid[bi, sl]] = -1e9
+                s = s - s.max(-1, keepdims=True)
+                e = np.exp(s)
+                a = e / e.sum(-1, keepdims=True)
+                out[bi, sl, h * d : (h + 1) * d] = a @ v[:, h]
+    return out
+
+
+def make_inputs(rng, b=2, n=128, patch=32, heads=4, d=8):
+    c = heads * d
+    qkv = rng.normal(size=(b, n, 3, c)).astype(np.float32)
+    valid = np.ones((b, n), bool)
+    valid[0, (n * 3) // 4 :] = False  # partial last patches
+    if b > 1:
+        valid[1, n // 3 :] = False  # several fully-invalid patches
+    return qkv, valid
+
+
+def test_reference_vs_bruteforce(rng):
+    qkv, valid = make_inputs(rng)
+    patch, heads = 32, 4
+    scale = (qkv.shape[-1] // heads) ** -0.5
+    got = np.asarray(
+        wa.window_attention_reference(
+            jnp.asarray(qkv), jnp.asarray(valid), patch, heads, patch_chunk=3
+        )
+    )
+    expected = brute_force(qkv, valid, patch, heads, scale)
+    m = valid.reshape(2, -1)
+    np.testing.assert_allclose(got[m], expected[m], rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_matches_reference(rng):
+    qkv, valid = make_inputs(rng)
+    patch, heads = 32, 4
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            wa.window_attention(
+                jnp.asarray(qkv), jnp.asarray(valid), patch, heads, use_pallas=True
+            )
+        )
+    expected = np.asarray(
+        wa.window_attention_reference(jnp.asarray(qkv), jnp.asarray(valid), patch, heads)
+    )
+    m = valid
+    np.testing.assert_allclose(got[m], expected[m], rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_gradients_match(rng):
+    qkv, valid = make_inputs(rng, b=1, n=64, patch=16, heads=2, d=4)
+    patch, heads = 16, 2
+    vj = jnp.asarray(valid)
+    mask_f = jnp.asarray(valid)[..., None].astype(jnp.float32)
+
+    def loss_pallas(x):
+        o = wa.window_attention(x, vj, patch, heads, use_pallas=True)
+        return jnp.sum((o * mask_f) ** 2)
+
+    def loss_ref(x):
+        o = wa.window_attention_reference(x, vj, patch, heads)
+        return jnp.sum((o * mask_f) ** 2)
+
+    x = jnp.asarray(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        g_pallas = np.asarray(jax.grad(loss_pallas)(x))
+    g_ref = np.asarray(jax.grad(loss_ref)(x))
+    np.testing.assert_allclose(g_pallas, g_ref, rtol=1e-3, atol=1e-4)
