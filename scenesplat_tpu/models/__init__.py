@@ -1,0 +1,7 @@
+from .builder import MODELS, build_model
+from .structure import PointBatch
+from . import ptv3  # noqa: F401 (registers PT-v3m1)
+from . import default  # noqa: F401 (registers task heads)
+from .losses.builder import LOSSES, build_criteria
+from .losses import misc as _losses_misc  # noqa: F401
+from .losses import contrastive as _losses_contrastive  # noqa: F401

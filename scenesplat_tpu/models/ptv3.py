@@ -1,0 +1,474 @@
+"""Point Transformer V3 backbone, TPU-native.
+
+Re-design of the reference PTv3
+(pointcept/models/point_transformer_v3/point_transformer_v3m1_base.py) for
+fixed-shape padded batches on TPU:
+
+  - serialized attention -> Pallas flash-window kernel over contiguous patches
+    of the curve-sorted sequence (ops/pallas_attn.py); padding is masked, not
+    duplicated (reference pads by duplicating points, l.115-170).
+  - spconv SubMConv3d (stem k=5, xCPE k=3) -> sorted-z-code binary-search
+    gather + per-offset matmul accumulation (ops/subm_conv.py); the neighbor
+    plan is built once per stage and shared by all blocks in the stage,
+    mirroring spconv's ``indice_key`` sharing (reference l.283,639).
+  - SerializedPooling/Unpooling -> cumsum-over-sorted-codes clustering with
+    static per-stage capacity buckets (ops/segops.py; reference l.341-482).
+  - BatchNorm1d -> MaskedBatchNorm excluding padding slots (models/norm.py).
+
+Every stage keeps static shapes; per-stage point capacities shrink by
+``stage_capacity`` fractions (padding-safe upper bounds on cluster counts),
+keeping deep-stage compute proportional to real point counts.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from scenesplat_tpu.ops.segops import (
+    PoolingPlan,
+    build_pooling_plan,
+    pool_serialization,
+    pool_values,
+    unpool_values,
+)
+from scenesplat_tpu.ops.serialization import Serialization, take_along_points
+from scenesplat_tpu.ops.subm_conv import (
+    SubMConvPlan,
+    build_subm_conv_plan,
+    subm_conv_apply,
+)
+from scenesplat_tpu.ops.window_attention import window_attention
+from .builder import MODELS
+from .norm import LayerNorm, MaskedBatchNorm
+from .structure import PointBatch
+
+
+class StageState(NamedTuple):
+    """Per-stage geometry shared by all blocks of the stage."""
+
+    coord: jnp.ndarray
+    grid_coord: jnp.ndarray
+    mask: jnp.ndarray
+    ser: Serialization
+    conv_plan: SubMConvPlan
+
+
+def _gelu(x):
+    return nn.gelu(x, approximate=False)  # torch nn.GELU parity
+
+
+class SubMConv(nn.Module):
+    """Parameter holder applying ops.subm_conv (spconv.SubMConv3d stand-in)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, plan: SubMConvPlan):
+        k3 = self.kernel_size**3
+        # fan-in init matching torch kaiming-uniform default for convs
+        bound = 1.0 / math.sqrt(self.in_channels * k3)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.uniform(scale=2 * bound),
+            (k3, self.in_channels, self.out_channels),
+            jnp.float32,
+        )
+        kernel = kernel - bound  # uniform(0, 2b) -> uniform(-b, b)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return subm_conv_apply(
+            feat.astype(self.dtype), plan, kernel.astype(self.dtype),
+            None if bias is None else bias.astype(self.dtype),
+        )
+
+
+class MLP(nn.Module):
+    channels: int
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        hidden = int(self.channels * self.mlp_ratio)
+        x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        x = _gelu(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(self.channels, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class SerializedAttention(nn.Module):
+    """Window attention over one curve order (reference l.51-222)."""
+
+    channels: int
+    num_heads: int
+    patch_size: int
+    order_index: int = 0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    upcast_softmax: bool = True
+    use_pallas: Optional[bool] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, state: StageState, deterministic: bool):
+        c, h = self.channels, self.num_heads
+        scale = self.qk_scale or (c // h) ** -0.5
+        order = state.ser.order[self.order_index]
+        inverse = state.ser.inverse[self.order_index]
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(feat)
+        qkv_sorted = take_along_points(qkv, order).reshape(
+            qkv.shape[0], qkv.shape[1], 3, c
+        )
+        valid_sorted = take_along_points(
+            state.mask.astype(jnp.int32), order
+        ).astype(bool)
+        out_sorted = window_attention(
+            qkv_sorted,
+            valid_sorted,
+            patch_size=self.patch_size,
+            num_heads=h,
+            scale=scale,
+            use_pallas=self.use_pallas,
+        )
+        out = take_along_points(out_sorted, inverse)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class Block(nn.Module):
+    """xCPE + pre-norm attention + pre-norm MLP (reference l.251-338)."""
+
+    channels: int
+    num_heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path: float = 0.0
+    pre_norm: bool = True
+    order_index: int = 0
+    upcast_softmax: bool = True
+    use_pallas: Optional[bool] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, state: StageState, deterministic: bool):
+        c = self.channels
+        # drop_path == per-point residual-branch dropout (timm DropPath on a
+        # packed [N, C] buffer drops per point)
+        droppath = nn.Dropout(
+            self.drop_path, broadcast_dims=(2,), deterministic=deterministic,
+            name="drop_path",
+        )
+
+        shortcut = feat
+        x = SubMConv(c, c, kernel_size=3, use_bias=True, dtype=self.dtype,
+                     name="cpe_conv")(feat, state.conv_plan)
+        x = nn.Dense(c, dtype=self.dtype, name="cpe_linear")(x)
+        x = LayerNorm(c, dtype=self.dtype, name="cpe_norm")(x)
+        feat = shortcut + x
+
+        shortcut = feat
+        if self.pre_norm:
+            feat = LayerNorm(c, dtype=self.dtype, name="norm1")(feat)
+        feat = SerializedAttention(
+            channels=c,
+            num_heads=self.num_heads,
+            patch_size=self.patch_size,
+            order_index=self.order_index,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop,
+            upcast_softmax=self.upcast_softmax,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype,
+            name="attn",
+        )(feat, state, deterministic)
+        feat = shortcut + droppath(feat)
+        if not self.pre_norm:
+            feat = LayerNorm(c, dtype=self.dtype, name="norm1")(feat)
+
+        shortcut = feat
+        if self.pre_norm:
+            feat = LayerNorm(c, dtype=self.dtype, name="norm2")(feat)
+        feat = MLP(channels=c, mlp_ratio=self.mlp_ratio, drop=self.proj_drop,
+                   dtype=self.dtype, name="mlp")(feat, deterministic)
+        feat = shortcut + droppath(feat)
+        if not self.pre_norm:
+            feat = LayerNorm(c, dtype=self.dtype, name="norm2")(feat)
+        return feat
+
+
+class SerializedPooling(nn.Module):
+    """Grid pooling by right-shifted codes (reference l.341-444)."""
+
+    in_channels: int
+    out_channels: int
+    stride: int = 2
+    reduce: str = "mean"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, state: StageState, out_capacity: int,
+                 deterministic: bool):
+        pooling_depth = (math.ceil(self.stride) - 1).bit_length()
+        plan = build_pooling_plan(
+            state.ser, state.mask, out_capacity, pooling_depth
+        )
+        x = nn.Dense(self.out_channels, dtype=self.dtype, name="proj")(feat)
+        x = pool_values(plan, x, self.reduce)
+        coord = pool_values(plan, state.coord, "mean")
+        grid_coord = take_along_points(state.grid_coord, plan.head_index) >> pooling_depth
+        ser = pool_serialization(plan, state.ser, pooling_depth)
+        mask = plan.out_mask
+        x = MaskedBatchNorm(self.out_channels, dtype=self.dtype, name="norm")(
+            x, mask, use_running_average=deterministic
+        )
+        x = _gelu(x)
+        return x, coord, grid_coord, mask, ser, plan
+
+
+class SerializedUnpooling(nn.Module):
+    """Broadcast pooled feats back to parent points + skip (reference l.447-482)."""
+
+    in_channels: int
+    skip_channels: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, parent_feat, parent_mask, mask, plan: PoolingPlan,
+                 deterministic: bool):
+        x = nn.Dense(self.out_channels, dtype=self.dtype, name="proj")(feat)
+        x = MaskedBatchNorm(self.out_channels, dtype=self.dtype, name="proj_norm")(
+            x, mask, use_running_average=deterministic
+        )
+        x = _gelu(x)
+        skip = nn.Dense(self.out_channels, dtype=self.dtype, name="proj_skip")(parent_feat)
+        skip = MaskedBatchNorm(
+            self.out_channels, dtype=self.dtype, name="proj_skip_norm"
+        )(skip, parent_mask, use_running_average=deterministic)
+        skip = _gelu(skip)
+        return skip + unpool_values(x, plan.cluster_of_point)
+
+
+class Embedding(nn.Module):
+    """Stem: submanifold conv k=5 + BN + GELU (reference l.485-515)."""
+
+    in_channels: int
+    embed_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, plan: SubMConvPlan, mask, deterministic: bool):
+        x = SubMConv(
+            self.in_channels, self.embed_channels, kernel_size=5,
+            use_bias=False, dtype=self.dtype, name="conv",
+        )(feat, plan)
+        x = MaskedBatchNorm(self.embed_channels, dtype=self.dtype, name="norm")(
+            x, mask, use_running_average=deterministic
+        )
+        return _gelu(x)
+
+
+def _round_capacity(n: int, frac: float, patch: int) -> int:
+    cap = max(patch, int(math.ceil(n * frac / patch)) * patch)
+    return min(cap, max(patch, int(math.ceil(n / patch)) * patch))
+
+
+@MODELS.register_module("PT-v3m1")
+class PointTransformerV3(nn.Module):
+    """Flagship backbone (reference l.518-714; flagship VL config:
+    configs/concat_dataset/lang-pretrain-...-contrastive.py:22-54)."""
+
+    in_channels: int = 6
+    order: Tuple[str, ...] = ("z", "z-trans")
+    stride: Tuple[int, ...] = (2, 2, 2, 2)
+    enc_depths: Tuple[int, ...] = (2, 2, 2, 6, 2)
+    enc_channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    enc_num_head: Tuple[int, ...] = (2, 4, 8, 16, 32)
+    enc_patch_size: Tuple[int, ...] = (48, 48, 48, 48, 48)
+    dec_depths: Tuple[int, ...] = (2, 2, 2, 2)
+    dec_channels: Tuple[int, ...] = (64, 64, 128, 256)
+    dec_num_head: Tuple[int, ...] = (4, 4, 8, 16)
+    dec_patch_size: Tuple[int, ...] = (48, 48, 48, 48)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    drop_path: float = 0.3
+    pre_norm: bool = True
+    shuffle_orders: bool = True
+    upcast_softmax: bool = True
+    cls_mode: bool = False
+    pool_reduce: str = "mean"
+    serialization_depth: int = 16
+    # static per-stage point-capacity fractions (upper bounds on cluster
+    # counts after each stride-2 pooling; surfaces shrink ~4x per level)
+    stage_capacity: Optional[Tuple[float, ...]] = None
+    use_pallas: Optional[bool] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def num_stages(self):
+        return len(self.enc_depths)
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool = False) -> PointBatch:
+        deterministic = not train
+        num_stages = self.num_stages
+        orders = self.order if not isinstance(self.order, str) else (self.order,)
+        caps = self.stage_capacity or tuple(
+            0.5**s for s in range(1, num_stages)
+        )
+        assert len(caps) == num_stages - 1
+
+        if point.ser is None:
+            shuffle_rng = (
+                self.make_rng("shuffle")
+                if (train and self.shuffle_orders and len(orders) > 1)
+                else None
+            )
+            point = point.serialized(
+                orders, depth=self.serialization_depth, shuffle_rng=shuffle_rng
+            )
+
+        n0 = point.num_points
+        feat = point.feat.astype(self.dtype)
+
+        state = StageState(
+            coord=point.coord,
+            grid_coord=point.grid_coord,
+            mask=point.mask,
+            ser=point.ser,
+            conv_plan=build_subm_conv_plan(
+                point.grid_coord, point.mask, kernel_size=3,
+                depth=self.serialization_depth,
+            ),
+        )
+        stem_plan = build_subm_conv_plan(
+            point.grid_coord, point.mask, kernel_size=5,
+            depth=self.serialization_depth,
+        )
+        feat = Embedding(
+            self.in_channels, self.enc_channels[0], dtype=self.dtype,
+            name="embedding",
+        )(feat, stem_plan, state.mask, deterministic)
+
+        import numpy as _np
+
+        enc_dp = [
+            float(x) for x in
+            _np.linspace(0, self.drop_path, sum(self.enc_depths))
+        ]
+        skips = []  # (feat, state, plan) at each pre-pooling resolution
+
+        for s in range(num_stages):
+            if s > 0:
+                cap = _round_capacity(n0, caps[s - 1], self.enc_patch_size[s])
+                pooled = SerializedPooling(
+                    in_channels=self.enc_channels[s - 1],
+                    out_channels=self.enc_channels[s],
+                    stride=self.stride[s - 1],
+                    reduce=self.pool_reduce,
+                    dtype=self.dtype,
+                    name=f"enc{s}_down",
+                )(feat, state, cap, deterministic)
+                x, coord, grid_coord, mask, ser, plan = pooled
+                skips.append((feat, state, plan))
+                feat = x
+                state = StageState(
+                    coord=coord, grid_coord=grid_coord, mask=mask, ser=ser,
+                    conv_plan=build_subm_conv_plan(
+                        grid_coord, mask, kernel_size=3,
+                        depth=self.serialization_depth,
+                    ),
+                )
+            for i in range(self.enc_depths[s]):
+                feat = Block(
+                    channels=self.enc_channels[s],
+                    num_heads=self.enc_num_head[s],
+                    patch_size=self.enc_patch_size[s],
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale,
+                    attn_drop=self.attn_drop,
+                    proj_drop=self.proj_drop,
+                    drop_path=enc_dp[sum(self.enc_depths[:s]) + i],
+                    pre_norm=self.pre_norm,
+                    order_index=i % len(orders),
+                    upcast_softmax=self.upcast_softmax,
+                    use_pallas=self.use_pallas,
+                    dtype=self.dtype,
+                    name=f"enc{s}_block{i}",
+                )(feat, state, deterministic)
+
+        if not self.cls_mode:
+            dec_dp = [
+                float(x) for x in
+                _np.linspace(0, self.drop_path, sum(self.dec_depths))
+            ]
+            dec_channels = list(self.dec_channels) + [self.enc_channels[-1]]
+            for s in reversed(range(num_stages - 1)):
+                parent_feat, parent_state, plan = skips.pop()
+                feat = SerializedUnpooling(
+                    in_channels=dec_channels[s + 1],
+                    skip_channels=self.enc_channels[s],
+                    out_channels=dec_channels[s],
+                    dtype=self.dtype,
+                    name=f"dec{s}_up",
+                )(feat, parent_feat, parent_state.mask, state.mask, plan,
+                  deterministic)
+                state = parent_state
+                dp_slice = dec_dp[
+                    sum(self.dec_depths[:s]) : sum(self.dec_depths[: s + 1])
+                ][::-1]
+                for i in range(self.dec_depths[s]):
+                    feat = Block(
+                        channels=dec_channels[s],
+                        num_heads=self.dec_num_head[s],
+                        patch_size=self.dec_patch_size[s],
+                        mlp_ratio=self.mlp_ratio,
+                        qkv_bias=self.qkv_bias,
+                        qk_scale=self.qk_scale,
+                        attn_drop=self.attn_drop,
+                        proj_drop=self.proj_drop,
+                        drop_path=dp_slice[i],
+                        pre_norm=self.pre_norm,
+                        order_index=i % len(orders),
+                        upcast_softmax=self.upcast_softmax,
+                        use_pallas=self.use_pallas,
+                        dtype=self.dtype,
+                        name=f"dec{s}_block{i}",
+                    )(feat, state, deterministic)
+
+        return point.replace(
+            feat=feat,
+            coord=state.coord,
+            grid_coord=state.grid_coord,
+            mask=state.mask,
+            ser=state.ser,
+        )
