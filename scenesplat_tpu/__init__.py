@@ -1,0 +1,20 @@
+"""SceneSplat-TPU: a TPU-native 3DGS scene-understanding framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the reference
+SceneSplat/Pointcept stack (see SURVEY.md).
+"""
+
+__version__ = "0.1.0"
+
+
+def setup_compilation_cache(path: str = "/tmp/scenesplat_jax_cache"):
+    """Enable JAX's persistent compilation cache.
+
+    XLA-TPU sort compiles are expensive (seconds to minutes per shape); the
+    framework re-uses shapes heavily, so the on-disk cache pays for itself on
+    the second run. Called by bench.py / tools entry points.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,132 @@
+"""Fixed-shape padded collation.
+
+Replaces the reference's ragged offset-concat collate
+(pointcept/datasets/utils.py:8-48). Each sample is padded to a static bucket
+size so the jitted train step sees one shape; padding slots are masked.
+
+Mix3D batch mixing (reference point_collate_fn:37-48 merges consecutive
+sample pairs with probability ``mix_prob``) is implemented at collate time:
+a mixed pair's valid points are concatenated into one slot (random-subsampled
+if they exceed the bucket), the partner slot is dropped, keeping shapes
+static. Deviation from the reference (which lets mixed clouds grow to 2x) is
+bounded by the bucket size and documented here.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+PAD_VALUES = {
+    "segment": -1,
+    "instance": -1,
+    "pc_segment": -1,
+}
+
+INT_KEYS = ("segment", "instance", "grid_coord", "index", "pc_segment")
+BOOL_KEYS = ("valid_feat_mask",)
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def pick_bucket(n: int, patch_size: int, buckets: Optional[Sequence[int]] = None) -> int:
+    if buckets:
+        for b in sorted(buckets):
+            if n <= b:
+                return b
+        return max(buckets)
+    return max(patch_size, _round_up(n, patch_size))
+
+
+def pad_sample(sample: Dict[str, np.ndarray], target_n: int) -> Dict[str, np.ndarray]:
+    """Pad every per-point array of one sample dict to target_n rows and add
+    'mask'. Scalar / full-res (pc_*, origin_*) keys pass through."""
+    n = sample["coord"].shape[0]
+    out = {}
+    if n > target_n:
+        keep = np.random.choice(n, target_n, replace=False)
+        sample = {
+            k: (v[keep] if isinstance(v, np.ndarray) and v.shape[:1] == (n,) and not k.startswith(("pc_", "origin_")) else v)
+            for k, v in sample.items()
+        }
+        n = target_n
+    pad = target_n - n
+    for key, value in sample.items():
+        if (
+            isinstance(value, np.ndarray)
+            and value.shape[:1] == (n,)
+            and not key.startswith(("pc_", "origin_"))
+        ):
+            if pad:
+                fill = PAD_VALUES.get(key, 0)
+                width = [(0, pad)] + [(0, 0)] * (value.ndim - 1)
+                value = np.pad(value, width, constant_values=fill)
+            out[key] = value
+        else:
+            out[key] = value
+    mask = np.zeros(target_n, bool)
+    mask[:n] = True
+    out["mask"] = mask
+    return out
+
+
+def _merge_two(a: Dict[str, np.ndarray], b: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    na, nb = a["coord"].shape[0], b["coord"].shape[0]
+    merged = {}
+    for key in a:
+        va = a[key]
+        if (
+            isinstance(va, np.ndarray)
+            and va.shape[:1] == (na,)
+            and key in b
+            and isinstance(b[key], np.ndarray)
+            and b[key].shape[:1] == (nb,)
+            and not key.startswith(("pc_", "origin_"))
+        ):
+            merged[key] = np.concatenate([va, b[key]], axis=0)
+        else:
+            merged[key] = va
+    return merged
+
+
+def collate_padded(
+    samples: List[Dict[str, np.ndarray]],
+    num_points: int,
+    mix_prob: float = 0.0,
+    cast_dtypes: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Collate sample dicts to a dict of [B, num_points, ...] arrays + mask."""
+    if mix_prob > 0 and len(samples) > 1 and np.random.rand() < mix_prob:
+        mixed = []
+        it = iter(samples)
+        for a in it:
+            b = next(it, None)
+            mixed.append(a if b is None else _merge_two(a, b))
+        samples = mixed
+
+    padded = [pad_sample(s, num_points) for s in samples]
+    keys = set(padded[0])
+    for p in padded[1:]:
+        keys &= set(p)
+    batch = {}
+    for key in keys:
+        vals = [p[key] for p in padded]
+        if not isinstance(vals[0], np.ndarray):
+            if isinstance(vals[0], (int, float)):
+                batch[key] = np.asarray(vals)
+            continue
+        if vals[0].shape[:1] != (num_points,) and key != "mask":
+            continue  # per-scene full-res arrays don't batch to fixed shape
+        arr = np.stack(vals)
+        if cast_dtypes:
+            if key in INT_KEYS:
+                arr = arr.astype(np.int32)
+            elif key in BOOL_KEYS or arr.dtype == bool:
+                arr = arr.astype(bool)
+            elif np.issubdtype(arr.dtype, np.floating):
+                arr = arr.astype(np.float32)
+        batch[key] = arr
+    return batch

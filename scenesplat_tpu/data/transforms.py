@@ -1,0 +1,787 @@
+"""Host-side (numpy) data transforms.
+
+Re-implementation of the reference transform registry
+(pointcept/datasets/transform.py) for the TPU data pipeline: all transforms
+run in numpy on the host; the device consumes fixed-shape padded batches
+produced by data.collate. 3DGS-specific behaviors are preserved:
+
+  - rotations/flips also transform the wxyz quaternion (left-multiply /
+    reflection conjugation, reference transform.py:582-595,714-725);
+  - RandomScale scales the per-Gaussian ``scale`` attribute (l.676-677);
+  - GridSample keeps the FNV-1a 64-bit voxel hash, train mode random-point-
+    per-cell and test mode complementary fragments (l.1182-1416);
+  - SphereCrop crops every per-point key including lang_feat (l.1420+).
+
+The reference's RandomColorSolarize no-op bug (l.184-194: result never written
+back) is fixed here, not replicated.
+"""
+
+from __future__ import annotations
+
+import copy
+import numbers
+import random
+from collections.abc import Mapping, Sequence
+
+import numpy as np
+
+from scenesplat_tpu.utils.registry import Registry
+
+TRANSFORMS = Registry("transforms")
+
+# keys indexed per-point in the working resolution (pc_* / origin_* keys hold
+# the separate full-resolution point cloud and are never cropped with these)
+PER_POINT_KEYS = (
+    "coord",
+    "color",
+    "normal",
+    "strength",
+    "segment",
+    "instance",
+    "quat",
+    "scale",
+    "opacity",
+    "lang_feat",
+    "valid_feat_mask",
+    "grid_coord",
+    "displacement",
+    "index",
+)
+
+
+def _subset(data_dict, idx):
+    n = data_dict["coord"].shape[0]
+    for key in PER_POINT_KEYS:
+        if key in data_dict and isinstance(data_dict[key], np.ndarray) and data_dict[key].shape[:1] == (n,):
+            data_dict[key] = data_dict[key][idx]
+    return data_dict
+
+
+def _rotation_matrix(axis: str, angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    if axis == "x":
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    if axis == "y":
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    if axis == "z":
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    raise NotImplementedError(axis)
+
+
+def _quat_wxyz_to_matrix(q):
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    n = np.maximum(np.sqrt(w * w + x * x + y * y + z * z), 1e-12)
+    w, x, y, z = w / n, x / n, y / n, z / n
+    return np.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    ).reshape(-1, 3, 3)
+
+
+def _matrix_to_quat_wxyz(m):
+    # Shepperd's method, vectorized
+    t = np.trace(m, axis1=1, axis2=2)
+    q = np.zeros((m.shape[0], 4))
+    c0 = t > 0
+    s = np.sqrt(np.maximum(t[c0] + 1.0, 0)) * 2
+    q[c0, 0] = 0.25 * s
+    q[c0, 1] = (m[c0, 2, 1] - m[c0, 1, 2]) / np.maximum(s, 1e-12)
+    q[c0, 2] = (m[c0, 0, 2] - m[c0, 2, 0]) / np.maximum(s, 1e-12)
+    q[c0, 3] = (m[c0, 1, 0] - m[c0, 0, 1]) / np.maximum(s, 1e-12)
+    rest = ~c0
+    if rest.any():
+        mm = m[rest]
+        qq = np.zeros((mm.shape[0], 4))
+        d = np.stack([mm[:, 0, 0], mm[:, 1, 1], mm[:, 2, 2]], -1)
+        i = d.argmax(-1)
+        for ii in range(3):
+            sel = i == ii
+            if not sel.any():
+                continue
+            a, b, c = ii, (ii + 1) % 3, (ii + 2) % 3
+            ms = mm[sel]
+            s = np.sqrt(np.maximum(1.0 + ms[:, a, a] - ms[:, b, b] - ms[:, c, c], 0)) * 2
+            s = np.maximum(s, 1e-12)
+            qq[sel, 0] = (ms[:, c, b] - ms[:, b, c]) / s
+            qq[sel, 1 + a] = 0.25 * s
+            qq[sel, 1 + b] = (ms[:, b, a] + ms[:, a, b]) / s
+            qq[sel, 1 + c] = (ms[:, c, a] + ms[:, a, c]) / s
+        q[rest] = qq
+    return q
+
+
+def _rotate_quat(data_dict, rot_t):
+    """Left-multiply the per-Gaussian rotation by ``rot_t``
+    (reference transform.py:582-595)."""
+    if "quat" not in data_dict:
+        return
+    m = _quat_wxyz_to_matrix(np.asarray(data_dict["quat"], np.float64))
+    new_m = np.einsum("ij,njk->nik", rot_t, m)
+    data_dict["quat"] = _matrix_to_quat_wxyz(new_m).astype(np.float32)
+
+
+class Compose:
+    def __init__(self, cfg=None):
+        self.transforms = [
+            t if callable(t) else TRANSFORMS.build(t) for t in (cfg or [])
+        ]
+
+    def __call__(self, data_dict):
+        for t in self.transforms:
+            data_dict = t(data_dict)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class Collect:
+    """Pick keys + concat feat_keys into 'feat' (reference transform.py:320-354).
+    No 'offset' is emitted — batching uses masks, not packed offsets."""
+
+    def __init__(self, keys, **kwargs):
+        self.keys = (keys,) if isinstance(keys, str) else keys
+        self.kwargs = kwargs
+
+    def __call__(self, data_dict):
+        data = dict()
+        for key in self.keys:
+            if key in data_dict:
+                data[key] = data_dict[key]
+        for name, keys in self.kwargs.items():
+            name = name.replace("_keys", "")
+            assert isinstance(keys, Sequence)
+            data[name] = np.concatenate(
+                [np.atleast_2d(np.asarray(data_dict[key], np.float32).T).T
+                 if np.asarray(data_dict[key]).ndim == 1
+                 else np.asarray(data_dict[key], np.float32)
+                 for key in keys],
+                axis=1,
+            )
+        return data
+
+
+@TRANSFORMS.register_module()
+class Copy:
+    def __init__(self, keys_dict=None):
+        self.keys_dict = keys_dict or dict(
+            coord="origin_coord", segment="origin_segment"
+        )
+
+    def __call__(self, data_dict):
+        for key, value in self.keys_dict.items():
+            if key in data_dict:
+                v = data_dict[key]
+                data_dict[value] = (
+                    v.copy() if isinstance(v, np.ndarray) else copy.deepcopy(v)
+                )
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class Add:
+    def __init__(self, keys_dict=None):
+        self.keys_dict = keys_dict or dict()
+
+    def __call__(self, data_dict):
+        for key, value in self.keys_dict.items():
+            data_dict[key] = value
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ToTensor:
+    """Kept for config compatibility; arrays stay numpy on the host."""
+
+    def __call__(self, data):
+        return data
+
+
+@TRANSFORMS.register_module()
+class NormalizeColor:
+    def __call__(self, data_dict):
+        if "color" in data_dict:
+            data_dict["color"] = data_dict["color"] / 127.5 - 1
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class NormalizeCoord:
+    def __call__(self, data_dict):
+        if "coord" in data_dict:
+            centroid = np.mean(data_dict["coord"], axis=0)
+            data_dict["coord"] = data_dict["coord"] - centroid
+            m = np.max(np.sqrt(np.sum(data_dict["coord"] ** 2, axis=1)))
+            data_dict["coord"] = data_dict["coord"] / m
+            if "scale" in data_dict:
+                # reference transform.py:432-433 references `m` out of scope
+                # when only `scale` is present; scoped correctly here
+                data_dict["scale"] = data_dict["scale"] / m
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class PositiveShift:
+    def __call__(self, data_dict):
+        if "coord" in data_dict:
+            data_dict["coord"] = data_dict["coord"] - np.min(data_dict["coord"], 0)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class CenterShift:
+    def __init__(self, apply_z=True):
+        self.apply_z = apply_z
+
+    def __call__(self, data_dict):
+        if "coord" in data_dict:
+            x_min, y_min, z_min = data_dict["coord"].min(axis=0)
+            x_max, y_max, _ = data_dict["coord"].max(axis=0)
+            z = z_min if self.apply_z else 0
+            shift = np.array([(x_min + x_max) / 2, (y_min + y_max) / 2, z])
+            data_dict["coord"] = data_dict["coord"] - shift
+            if "pc_coord" in data_dict:
+                data_dict["pc_coord"] = data_dict["pc_coord"] - shift
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomShift:
+    def __init__(self, shift=((-0.2, 0.2), (-0.2, 0.2), (0, 0))):
+        if len(shift) == 3 and isinstance(shift[0], (int, float)):
+            shift = tuple((-s, s) for s in shift)
+        self.shift = shift
+
+    def __call__(self, data_dict):
+        if "coord" in data_dict:
+            s = [np.random.uniform(lo, hi) for lo, hi in self.shift]
+            data_dict["coord"] = data_dict["coord"] + np.asarray(s)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class PointClip:
+    def __init__(self, point_cloud_range=(-80, -80, -3, 80, 80, 1)):
+        self.point_cloud_range = point_cloud_range
+
+    def __call__(self, data_dict):
+        if "coord" in data_dict:
+            data_dict["coord"] = np.clip(
+                data_dict["coord"],
+                a_min=self.point_cloud_range[:3],
+                a_max=self.point_cloud_range[3:],
+            )
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomDropout:
+    def __init__(self, dropout_ratio=0.2, dropout_application_ratio=0.5):
+        self.dropout_ratio = dropout_ratio
+        self.dropout_application_ratio = dropout_application_ratio
+
+    def __call__(self, data_dict):
+        if random.random() < self.dropout_application_ratio:
+            n = len(data_dict["coord"])
+            idx = np.random.choice(n, int(n * (1 - self.dropout_ratio)), replace=False)
+            _subset(data_dict, idx)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomRotate:
+    def __init__(self, angle=None, center=None, axis="z", always_apply=False, p=0.5):
+        self.angle = [-1, 1] if angle is None else angle
+        self.axis = axis
+        self.p = 1 if always_apply else p
+        self.center = center
+
+    def __call__(self, data_dict):
+        if random.random() > self.p:
+            return data_dict
+        angle = np.random.uniform(self.angle[0], self.angle[1]) * np.pi
+        return _apply_rotation(data_dict, self.axis, angle, self.center)
+
+
+@TRANSFORMS.register_module()
+class RandomRotateTargetAngle:
+    def __init__(self, angle=(1 / 2, 1, 3 / 2), center=None, axis="z",
+                 always_apply=False, p=0.75):
+        self.angle = angle
+        self.axis = axis
+        self.p = 1 if always_apply else p
+        self.center = center
+
+    def __call__(self, data_dict):
+        if random.random() > self.p:
+            return data_dict
+        angle = np.random.choice(self.angle) * np.pi
+        return _apply_rotation(data_dict, self.axis, angle, self.center)
+
+
+def _apply_rotation(data_dict, axis, angle, center):
+    rot_t = _rotation_matrix(axis, angle)
+    if "coord" in data_dict:
+        if center is None:
+            lo = data_dict["coord"].min(axis=0)
+            hi = data_dict["coord"].max(axis=0)
+            center = (lo + hi) / 2
+        center = np.asarray(center)
+        data_dict["coord"] = (data_dict["coord"] - center) @ rot_t.T + center
+        if "pc_coord" in data_dict:
+            data_dict["pc_coord"] = (data_dict["pc_coord"] - center) @ rot_t.T + center
+    _rotate_quat(data_dict, rot_t)
+    if "normal" in data_dict:
+        data_dict["normal"] = data_dict["normal"] @ rot_t.T
+    return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomScale:
+    def __init__(self, scale=None, anisotropic=False):
+        self.scale = scale if scale is not None else [0.95, 1.05]
+        self.anisotropic = anisotropic
+
+    def __call__(self, data_dict):
+        if "coord" in data_dict:
+            scale = np.random.uniform(
+                self.scale[0], self.scale[1], 3 if self.anisotropic else 1
+            )
+            data_dict["coord"] = data_dict["coord"] * scale
+            if "pc_coord" in data_dict:
+                data_dict["pc_coord"] = data_dict["pc_coord"] * scale
+            if "scale" in data_dict:
+                data_dict["scale"] = data_dict["scale"] * scale
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomFlip:
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def __call__(self, data_dict):
+        r_reflect = np.eye(3)
+        flipped = False
+        for axis in (0, 1):
+            if np.random.rand() < self.p:
+                reflect = np.eye(3)
+                reflect[axis, axis] = -1
+                r_reflect = reflect @ r_reflect
+                flipped = True
+                if "coord" in data_dict:
+                    data_dict["coord"][:, axis] = -data_dict["coord"][:, axis]
+                if "pc_coord" in data_dict:
+                    data_dict["pc_coord"][:, axis] = -data_dict["pc_coord"][:, axis]
+                if "normal" in data_dict:
+                    data_dict["normal"][:, axis] = -data_dict["normal"][:, axis]
+        if flipped and "quat" in data_dict:
+            # conjugate the rotation by the reflection (reference l.714-725)
+            m = _quat_wxyz_to_matrix(np.asarray(data_dict["quat"], np.float64))
+            new_m = np.einsum("ij,njk,kl->nil", r_reflect, m, r_reflect)
+            data_dict["quat"] = _matrix_to_quat_wxyz(new_m).astype(np.float32)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomJitter:
+    def __init__(self, sigma=0.01, clip=0.05):
+        assert clip > 0
+        self.sigma = sigma
+        self.clip = clip
+
+    def __call__(self, data_dict):
+        if "coord" in data_dict:
+            jitter = np.clip(
+                self.sigma * np.random.randn(data_dict["coord"].shape[0], 3),
+                -self.clip, self.clip,
+            )
+            data_dict["coord"] = data_dict["coord"] + jitter
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ClipGaussianJitter:
+    def __init__(self, scalar=0.02, store_jitter=False):
+        self.scalar = scalar
+        self.store_jitter = store_jitter
+
+    def __call__(self, data_dict):
+        if "coord" in data_dict:
+            jitter = np.random.multivariate_normal(
+                np.zeros(3), np.identity(3), data_dict["coord"].shape[0]
+            )
+            jitter = self.scalar * np.clip(jitter / 1.96, -1, 1)
+            data_dict["coord"] = data_dict["coord"] + jitter
+            if self.store_jitter:
+                data_dict["jitter"] = jitter
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ElasticDistortion:
+    def __init__(self, distortion_params=None):
+        self.distortion_params = (
+            [[0.2, 0.4], [0.8, 1.6]] if distortion_params is None
+            else distortion_params
+        )
+
+    @staticmethod
+    def elastic_distortion(coords, granularity, magnitude):
+        import scipy.ndimage
+        import scipy.interpolate
+
+        blurs = [
+            np.ones((3, 1, 1, 1), np.float32) / 3,
+            np.ones((1, 3, 1, 1), np.float32) / 3,
+            np.ones((1, 1, 3, 1), np.float32) / 3,
+        ]
+        coords_min = coords.min(0)
+        noise_dim = ((coords - coords_min).max(0) // granularity).astype(int) + 3
+        noise = np.random.randn(*noise_dim, 3).astype(np.float32)
+        for _ in range(2):
+            for blur in blurs:
+                noise = scipy.ndimage.convolve(noise, blur, mode="constant", cval=0)
+        ax = [
+            np.linspace(d_min, d_max, d)
+            for d_min, d_max, d in zip(
+                coords_min - granularity,
+                coords_min + granularity * (noise_dim - 2),
+                noise_dim,
+            )
+        ]
+        interp = scipy.interpolate.RegularGridInterpolator(
+            ax, noise, bounds_error=False, fill_value=0
+        )
+        return coords + interp(coords) * magnitude
+
+    def __call__(self, data_dict):
+        if "coord" in data_dict and self.distortion_params is not None:
+            if random.random() < 0.95:
+                for granularity, magnitude in self.distortion_params:
+                    data_dict["coord"] = self.elastic_distortion(
+                        data_dict["coord"], granularity, magnitude
+                    )
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ChromaticAutoContrast:
+    def __init__(self, p=0.2, blend_factor=None):
+        self.p = p
+        self.blend_factor = blend_factor
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.rand() < self.p:
+            lo = np.min(data_dict["color"], 0, keepdims=True)
+            hi = np.max(data_dict["color"], 0, keepdims=True)
+            scale = 255 / np.maximum(hi - lo, 1e-6)
+            contrast = (data_dict["color"][:, :3] - lo) * scale
+            blend = np.random.rand() if self.blend_factor is None else self.blend_factor
+            data_dict["color"][:, :3] = (
+                (1 - blend) * data_dict["color"][:, :3] + blend * contrast
+            )
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ChromaticTranslation:
+    def __init__(self, p=0.95, ratio=0.05):
+        self.p = p
+        self.ratio = ratio
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.rand() < self.p:
+            tr = (np.random.rand(1, 3) - 0.5) * 255 * 2 * self.ratio
+            data_dict["color"][:, :3] = np.clip(tr + data_dict["color"][:, :3], 0, 255)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ChromaticJitter:
+    def __init__(self, p=0.95, std=0.005):
+        self.p = p
+        self.std = std
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.rand() < self.p:
+            noise = np.random.randn(data_dict["color"].shape[0], 3) * self.std * 255
+            data_dict["color"][:, :3] = np.clip(
+                noise + data_dict["color"][:, :3], 0, 255
+            )
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomColorGrayScale:
+    def __init__(self, p):
+        self.p = p
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.rand() < self.p:
+            r, g, b = (data_dict["color"][..., i] for i in range(3))
+            gray = (0.2989 * r + 0.587 * g + 0.114 * b).astype(
+                data_dict["color"].dtype
+            )
+            data_dict["color"] = np.broadcast_to(
+                gray[..., None], data_dict["color"].shape
+            ).copy()
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomColorDrop:
+    def __init__(self, p=0.2, color_augment=0.0):
+        self.p = p
+        self.color_augment = color_augment
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.rand() < self.p:
+            data_dict["color"] = data_dict["color"] * self.color_augment
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomColorSolarize:
+    def __init__(self, p=0.2, threshold=128):
+        self.p = p
+        self.threshold = threshold
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.rand() < self.p:
+            color = data_dict["color"]
+            data_dict["color"] = np.where(color < self.threshold, color, 255 - color)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ShufflePoint:
+    def __call__(self, data_dict):
+        assert "coord" in data_dict
+        idx = np.random.permutation(data_dict["coord"].shape[0])
+        return _subset(data_dict, idx)
+
+
+@TRANSFORMS.register_module()
+class CropBoundary:
+    def __call__(self, data_dict):
+        assert "segment" in data_dict
+        mask = data_dict["segment"] != 0
+        return _subset(data_dict, np.nonzero(mask)[0])
+
+
+@TRANSFORMS.register_module()
+class SphereCrop:
+    """Crop to at most point_max points around a random/center point
+    (reference transform.py:1420+)."""
+
+    def __init__(self, point_max=80000, sample_rate=None, mode="random"):
+        self.point_max = point_max
+        self.sample_rate = sample_rate
+        assert mode in ["random", "center", "all"]
+        self.mode = mode
+
+    def __call__(self, data_dict):
+        point_max = (
+            int(self.sample_rate * data_dict["coord"].shape[0])
+            if self.sample_rate is not None
+            else self.point_max
+        )
+        assert "coord" in data_dict
+        n = data_dict["coord"].shape[0]
+        if n <= point_max or self.mode == "all":
+            return data_dict
+        if self.mode == "random":
+            center = data_dict["coord"][np.random.randint(n)]
+        else:
+            center = data_dict["coord"][n // 2]
+        d2 = np.sum(np.square(data_dict["coord"] - center), 1)
+        idx = np.argsort(d2)[:point_max]
+        return _subset(data_dict, idx)
+
+
+@TRANSFORMS.register_module()
+class SphereCropRandomMaxPoints:
+    def __init__(self, max_points=(80000, 120000), mode="random"):
+        self.max_points = max_points
+        self.mode = mode
+
+    def __call__(self, data_dict):
+        point_max = np.random.randint(self.max_points[0], self.max_points[1] + 1)
+        return SphereCrop(point_max=point_max, mode=self.mode)(data_dict)
+
+
+def fnv_hash_vec(arr: np.ndarray) -> np.ndarray:
+    """FNV64-1A over integer coordinate rows (reference transform.py:1402-1416)."""
+    assert arr.ndim == 2
+    arr = arr.astype(np.uint64, copy=True)
+    hashed = np.uint64(14695981039346656037) * np.ones(arr.shape[0], dtype=np.uint64)
+    for j in range(arr.shape[1]):
+        hashed *= np.uint64(1099511628211)
+        hashed = np.bitwise_xor(hashed, arr[:, j])
+    return hashed
+
+
+def ravel_hash_vec(arr: np.ndarray) -> np.ndarray:
+    assert arr.ndim == 2
+    arr = arr - arr.min(0)
+    arr = arr.astype(np.uint64, copy=False)
+    arr_max = arr.max(0).astype(np.uint64) + 1
+    keys = np.zeros(arr.shape[0], dtype=np.uint64)
+    for j in range(arr.shape[1] - 1):
+        keys += arr[:, j]
+        keys *= arr_max[j + 1]
+    keys += arr[:, -1]
+    return keys
+
+
+@TRANSFORMS.register_module()
+class GridSample:
+    """Voxel grid sampling (reference transform.py:1182-1416).
+
+    train mode: one random point per occupied cell (optionally importance-
+    weighted by Gaussian scale); test mode: count.max() complementary
+    fragments, each covering every cell once.
+    """
+
+    def __init__(
+        self,
+        grid_size=0.05,
+        hash_type="fnv",
+        mode="train",
+        keys=("coord", "color", "normal", "segment"),
+        return_inverse=False,
+        return_grid_coord=False,
+        return_min_coord=False,
+        return_displacement=False,
+        project_displacement=False,
+        importance_sample_key=None,
+        apply_to_pc=True,
+    ):
+        self.grid_size = grid_size
+        self.hash = fnv_hash_vec if hash_type == "fnv" else ravel_hash_vec
+        assert mode in ["train", "test"]
+        self.mode = mode
+        self.keys = keys
+        self.return_inverse = return_inverse
+        self.return_grid_coord = return_grid_coord
+        self.return_min_coord = return_min_coord
+        self.return_displacement = return_displacement
+        self.project_displacement = project_displacement
+        self.importance_sample_key = importance_sample_key
+        self.apply_to_pc = apply_to_pc
+
+    def __call__(self, data_dict):
+        assert "coord" in data_dict
+        scaled_coord = data_dict["coord"] / np.array(self.grid_size)
+        grid_coord = np.floor(scaled_coord).astype(int)
+        min_coord = grid_coord.min(0)
+        grid_coord -= min_coord
+        scaled_coord -= min_coord
+        min_coord = min_coord * np.array(self.grid_size)
+        key = self.hash(grid_coord)
+        idx_sort = np.argsort(key)
+        key_sort = key[idx_sort]
+        _, inverse, count = np.unique(key_sort, return_inverse=True, return_counts=True)
+
+        if "pc_coord" in data_dict and self.apply_to_pc:
+            self._sample_pc(data_dict)
+
+        if self.mode == "train":
+            if self.importance_sample_key is None:
+                idx_select = (
+                    np.cumsum(np.insert(count, 0, 0)[0:-1])
+                    + np.random.randint(0, count.max(), count.size) % count
+                )
+                idx_unique = idx_sort[idx_select]
+            else:
+                idx_unique = np.asarray(
+                    self._importance_sample(idx_sort, count, data_dict)
+                )
+            if self.return_inverse:
+                data_dict["inverse"] = np.zeros_like(inverse)
+                data_dict["inverse"][idx_sort] = inverse
+            if self.return_grid_coord:
+                data_dict["grid_coord"] = grid_coord[idx_unique]
+            if self.return_min_coord:
+                data_dict["min_coord"] = min_coord.reshape([1, 3])
+            if self.return_displacement:
+                disp = scaled_coord - grid_coord - 0.5
+                if self.project_displacement:
+                    disp = np.sum(disp * data_dict["normal"], axis=-1, keepdims=True)
+                data_dict["displacement"] = disp[idx_unique]
+            for k in self.keys:
+                if k in data_dict:
+                    data_dict[k] = data_dict[k][idx_unique]
+            return data_dict
+
+        # test mode: complementary fragments
+        data_part_list = []
+        for i in range(count.max()):
+            idx_select = np.cumsum(np.insert(count, 0, 0)[0:-1]) + i % count
+            idx_part = idx_sort[idx_select]
+            data_part = dict(index=idx_part)
+            if self.return_inverse:
+                data_dict["inverse"] = np.zeros_like(inverse)
+                data_dict["inverse"][idx_sort] = inverse
+            if self.return_grid_coord:
+                data_part["grid_coord"] = grid_coord[idx_part]
+            if self.return_min_coord:
+                data_part["min_coord"] = min_coord.reshape([1, 3])
+            for k in data_dict.keys():
+                if k in self.keys:
+                    data_part[k] = data_dict[k][idx_part]
+                else:
+                    data_part[k] = data_dict[k]
+            data_part_list.append(data_part)
+        return data_part_list
+
+    def _sample_pc(self, data_dict):
+        """Subsample the full-res point cloud, preferring labeled points per
+        cell (reference transform.py:1224-1260)."""
+        pc_coord = data_dict["pc_coord"]
+        pc_grid = np.floor(pc_coord / np.asarray(self.grid_size)).astype(int)
+        pc_grid -= pc_grid.min(0)
+        pc_key = self.hash(pc_grid)
+        pc_idx_sort = np.argsort(pc_key, kind="stable")
+        pc_key_sorted = pc_key[pc_idx_sort]
+        first_idx = np.nonzero(
+            np.concatenate(([True], pc_key_sorted[1:] != pc_key_sorted[:-1]))
+        )[0]
+        pc_segment = data_dict.get("pc_segment", None)
+        boundaries = np.append(first_idx, len(pc_idx_sort))
+        chosen = []
+        for start, end in zip(boundaries[:-1], boundaries[1:]):
+            cell_idx = pc_idx_sort[start:end]
+            if pc_segment is not None:
+                valid = cell_idx[pc_segment[cell_idx] != -1]
+                chosen.append(valid[0] if len(valid) else cell_idx[0])
+            else:
+                chosen.append(cell_idx[0])
+        chosen = np.asarray(chosen, dtype=np.int64)
+        data_dict["pc_coord"] = data_dict["pc_coord"][chosen]
+        if "pc_segment" in data_dict:
+            data_dict["pc_segment"] = data_dict["pc_segment"][chosen]
+
+    def _importance_sample(self, idx_sort, count, data_dict):
+        """Pick the highest-importance point per cell (reference l.1334-1380)."""
+        keys = (
+            self.importance_sample_key
+            if isinstance(self.importance_sample_key, tuple)
+            else (self.importance_sample_key,)
+        )
+        importance = None
+        for subkey in keys:
+            if "scale" in subkey and "scale" in data_dict:
+                op = subkey.split("_")[1] if "_" in subkey else "max"
+                attr = {
+                    "max": np.max, "prod": np.prod, "min": np.min
+                }[op](data_dict["scale"], axis=-1)
+            else:
+                attr = data_dict[subkey]
+            importance = attr if importance is None else importance * attr
+        grid_splits = np.cumsum(count[:-1])
+        grids = np.split(idx_sort, grid_splits)
+        return [g[importance[g].argmax()] for g in grids]

@@ -130,8 +130,8 @@ class SerializedAttention(nn.Module):
     def __call__(self, feat, state: StageState, deterministic: bool):
         c, h = self.channels, self.num_heads
         scale = self.qk_scale or (c // h) ** -0.5
-        order = state.ser.order[self.order_index]
-        inverse = state.ser.inverse[self.order_index]
+        order = state.ser.curve_order(self.order_index)
+        inverse = state.ser.curve_inverse(self.order_index)
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(feat)
         qkv_sorted = take_along_points(qkv, order).reshape(
@@ -359,6 +359,15 @@ class PointTransformerV3(nn.Module):
         n0 = point.num_points
         feat = point.feat.astype(self.dtype)
 
+        # physical curve index of "z": its serialization sort doubles as the
+        # conv lookup table (z-codes >> 3 stay z-codes through pooling)
+        z_idx = orders.index("z") if "z" in orders else None
+
+        def _z_sorted(ser):
+            if z_idx is None:
+                return None
+            return (ser.code_hi[z_idx], ser.code_lo[z_idx], ser.order[z_idx])
+
         state = StageState(
             coord=point.coord,
             grid_coord=point.grid_coord,
@@ -366,12 +375,12 @@ class PointTransformerV3(nn.Module):
             ser=point.ser,
             conv_plan=build_subm_conv_plan(
                 point.grid_coord, point.mask, kernel_size=3,
-                depth=self.serialization_depth,
+                depth=self.serialization_depth, z_sorted=_z_sorted(point.ser),
             ),
         )
         stem_plan = build_subm_conv_plan(
             point.grid_coord, point.mask, kernel_size=5,
-            depth=self.serialization_depth,
+            depth=self.serialization_depth, z_sorted=_z_sorted(point.ser),
         )
         feat = Embedding(
             self.in_channels, self.enc_channels[0], dtype=self.dtype,
@@ -405,6 +414,7 @@ class PointTransformerV3(nn.Module):
                     conv_plan=build_subm_conv_plan(
                         grid_coord, mask, kernel_size=3,
                         depth=self.serialization_depth,
+                        z_sorted=_z_sorted(ser),
                     ),
                 )
             for i in range(self.enc_depths[s]):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MASK24 = jnp.uint32(0x00FFFFFF)
 # Padding sentinel: larger than any valid 24-bit hi lane, survives >>3 shifts.
@@ -119,8 +120,10 @@ def lexsort_pair(hi: jnp.ndarray, lo: jnp.ndarray, axis: int = -1):
     """
     n = hi.shape[axis]
     iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, hi.ndim + axis if axis < 0 else axis)
+    # is_stable=False: stability is never required (ties = same voxel) and
+    # stable variadic sorts compile ~20-50x slower on the TPU toolchain
     sorted_hi, sorted_lo, order = jax.lax.sort(
-        (hi, lo, iota), dimension=axis % hi.ndim, num_keys=2, is_stable=True
+        (hi, lo, iota), dimension=axis % hi.ndim, num_keys=2, is_stable=False
     )
     del n
     return sorted_hi, sorted_lo, order
@@ -132,7 +135,7 @@ def invert_order(order: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     axis = axis % order.ndim
     iota = jax.lax.broadcasted_iota(jnp.int32, order.shape, axis)
     # inverse[order[j]] = j, per batch slice: sort by order as key.
-    _, inverse = jax.lax.sort((order, iota), dimension=axis, num_keys=1, is_stable=True)
+    _, inverse = jax.lax.sort((order, iota), dimension=axis, num_keys=1, is_stable=False)
     return inverse
 
 
@@ -171,3 +174,44 @@ def searchsorted_pair(
 
     left, right = jax.lax.fori_loop(0, n_iter + 1, body, (left, right))
     return left
+
+
+def searchsorted_pair_batched(
+    data_hi: jnp.ndarray,
+    data_lo: jnp.ndarray,
+    query_hi: jnp.ndarray,
+    query_lo: jnp.ndarray,
+) -> jnp.ndarray:
+    """Batched lower bound: data [B, N] (each row sorted), queries [B, ...].
+
+    Flattens the batch into the gather indices instead of vmapping — vmapped
+    1-D gathers lower to a slow batched-gather on TPU (~1000x slower), while a
+    flat take stays on the fast path.
+    """
+    b, n = data_hi.shape
+    qshape = query_hi.shape
+    m = int(np.prod(qshape[1:])) if qshape[1:] else 1
+    qhi = query_hi.reshape(b, m)
+    qlo = query_lo.reshape(b, m)
+    flat_hi = data_hi.reshape(-1)
+    flat_lo = data_lo.reshape(-1)
+    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+
+    n_iter = max(1, n.bit_length())
+    left = jnp.zeros((b, m), jnp.int32)
+    right = jnp.full((b, m), n, jnp.int32)
+
+    def body(_, carry):
+        left, right = carry
+        active = left < right
+        mid = (left + right) // 2
+        mid_c = jnp.clip(mid, 0, n - 1)
+        mhi = jnp.take(flat_hi, base + mid_c, axis=0)
+        mlo = jnp.take(flat_lo, base + mid_c, axis=0)
+        less = pair_less(mhi, mlo, qhi, qlo)
+        left = jnp.where(active & less, mid + 1, left)
+        right = jnp.where(active & ~less, mid, right)
+        return left, right
+
+    left, right = jax.lax.fori_loop(0, n_iter + 1, body, (left, right))
+    return left.reshape(qshape)

@@ -27,7 +27,7 @@ def _fwd_kernel(qkv_ref, valid_ref, o_ref, *, scale):
     q = qkv_ref[0, 0, :, 0, :]
     k = qkv_ref[0, 0, :, 1, :]
     v = qkv_ref[0, 0, :, 2, :]
-    valid = valid_ref[0, 0, :]  # [K] int32
+    valid = valid_ref[0, 0, 0, :]  # [K] int32
 
     s = jax.lax.dot_general(
         (q * scale).astype(jnp.float32),
@@ -53,7 +53,7 @@ def _bwd_kernel(qkv_ref, valid_ref, do_ref, dqkv_ref, *, scale):
     q = qkv_ref[0, 0, :, 0, :].astype(jnp.float32)
     k = qkv_ref[0, 0, :, 1, :].astype(jnp.float32)
     v = qkv_ref[0, 0, :, 2, :].astype(jnp.float32)
-    valid = valid_ref[0, 0, :]
+    valid = valid_ref[0, 0, 0, :]
     do = do_ref[0, 0, :, :].astype(jnp.float32)
 
     s = jax.lax.dot_general(
@@ -115,7 +115,7 @@ def _pallas_fwd(qkv_bh, valid_bh, scale):
         in_specs=[
             pl.BlockSpec((1, 1, k, 3, d), lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, 1, k), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, k, d), lambda i, j: (i, j, 0, 0),
@@ -126,7 +126,7 @@ def _pallas_fwd(qkv_bh, valid_bh, scale):
             bytes_accessed=qkv_bh.size * qkv_bh.dtype.itemsize * 2,
             transcendentals=bh * p * k * k,
         ),
-    )(qkv_bh, valid_bh)
+    )(qkv_bh, valid_bh[:, :, None, :])
 
 
 def _fwa_fwd(qkv_sorted, valid_sorted, patch_size, num_heads, scale):
@@ -170,7 +170,7 @@ def _fwa_bwd(patch_size, num_heads, scale, residuals, g):
         in_specs=[
             pl.BlockSpec((1, 1, patch_size, 3, d), lambda i, j: (i, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, patch_size), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, 1, patch_size), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, patch_size, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -180,7 +180,7 @@ def _fwa_bwd(patch_size, num_heads, scale, residuals, g):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((bh, p, patch_size, 3, d), qkv_bh.dtype),
-    )(qkv_bh, valid_bh, do_bh)
+    )(qkv_bh, valid_bh[:, :, None, :], do_bh)
 
     dqkv = dqkv_bh.reshape(b, num_heads, p, patch_size, 3, d)
     dqkv = dqkv.transpose(0, 2, 3, 4, 1, 5).reshape(b, n, 3, c)

@@ -202,7 +202,9 @@ def pool_serialization(
     hi, lo = pair_shift_right(hi, lo, 3 * pooling_depth)
     hi = jnp.where(plan.out_mask[None], hi, SENTINEL_HI)
     order, inverse = sort_codes(hi, lo)
-    return Serialization(code_hi=hi, code_lo=lo, order=order, inverse=inverse)
+    return Serialization(
+        code_hi=hi, code_lo=lo, order=order, inverse=inverse, perm=ser.perm
+    )
 
 
 def unpool_values(values_pooled: jnp.ndarray, cluster_of_point: jnp.ndarray) -> jnp.ndarray:

@@ -27,12 +27,25 @@ class Serialization(NamedTuple):
     ``order[s, b, j]`` is the source index of the j-th point along curve s;
     ``inverse`` is the inverse permutation. Padding points sort last in every
     curve. ``code_hi/lo`` are the (unsorted, per-point) 48-bit code lanes.
+
+    ``perm`` [S] implements order shuffling (reference structure.py:94-98) as
+    an index indirection: consumers look up curve ``perm[i]`` instead of
+    physically permuting the [S, B, N] arrays. This keeps curve 0 stably "z"
+    so the submanifold-conv neighbor plan can reuse the z-sort for free.
     """
 
     code_hi: jnp.ndarray  # [S, B, N] uint32
     code_lo: jnp.ndarray  # [S, B, N] uint32
     order: jnp.ndarray  # [S, B, N] int32
     inverse: jnp.ndarray  # [S, B, N] int32
+    perm: jnp.ndarray  # [S] int32
+
+    def curve_order(self, index: int) -> jnp.ndarray:
+        """order of logical curve ``index`` (respects shuffling): [B, N]."""
+        return jnp.take(self.order, self.perm[index], axis=0)
+
+    def curve_inverse(self, index: int) -> jnp.ndarray:
+        return jnp.take(self.inverse, self.perm[index], axis=0)
 
 
 def compute_codes(
@@ -70,27 +83,35 @@ def serialize(
 ) -> Serialization:
     code_hi, code_lo = compute_codes(grid_coord, mask, orders, depth)
     order, inverse = sort_codes(code_hi, code_lo)
-    return Serialization(code_hi=code_hi, code_lo=code_lo, order=order, inverse=inverse)
-
-
-def shuffle_orders(
-    ser: Serialization, rng: jax.Array
-) -> Serialization:
-    """Randomly permute the curve axis (reference structure.py:94-98)."""
-    s = ser.order.shape[0]
-    perm = jax.random.permutation(rng, s)
     return Serialization(
-        code_hi=ser.code_hi[perm],
-        code_lo=ser.code_lo[perm],
-        order=ser.order[perm],
-        inverse=ser.inverse[perm],
+        code_hi=code_hi,
+        code_lo=code_lo,
+        order=order,
+        inverse=inverse,
+        perm=jnp.arange(len(orders), dtype=jnp.int32),
     )
 
 
+def shuffle_orders(ser: Serialization, rng: jax.Array) -> Serialization:
+    """Randomly permute the logical curve order (reference structure.py:94-98)
+    via the ``perm`` indirection — no data movement."""
+    s = ser.order.shape[0]
+    perm = jax.random.permutation(rng, s).astype(jnp.int32)
+    return ser._replace(perm=jnp.take(ser.perm, perm, axis=0))
+
+
 def take_along_points(values: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-point values [B, N, ...] by a per-batch permutation [B, N]."""
-    expand = indices.reshape(indices.shape + (1,) * (values.ndim - indices.ndim))
-    return jnp.take_along_axis(values, expand.astype(jnp.int32), axis=1)
+    """Gather per-point values [B, N, ...] by per-batch indices [B, M].
+
+    Implemented as a flat gather with the batch folded into the index — the
+    batched take_along_axis lowers to a slower gather on TPU.
+    """
+    b, n = values.shape[:2]
+    rest = values.shape[2:]
+    flat = values.reshape((b * n,) + rest)
+    idx = indices.astype(jnp.int32) + (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    out = jnp.take(flat, idx.reshape(-1), axis=0)
+    return out.reshape((b, indices.shape[1]) + rest)
 
 
 def grid_coord_from_coord(

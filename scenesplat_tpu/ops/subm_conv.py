@@ -25,7 +25,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .bitops import SENTINEL_HI, pair_equal, searchsorted_pair
+from .bitops import SENTINEL_HI, pair_equal, searchsorted_pair_batched
 from .curves import z_order_encode
 from .serialization import take_along_points
 
@@ -53,42 +53,59 @@ def build_subm_conv_plan(
     mask: jnp.ndarray,
     kernel_size: int = 3,
     depth: int = 16,
+    z_sorted: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
 ) -> SubMConvPlan:
-    """grid_coord [B, N, 3] int32, mask [B, N] bool."""
+    """grid_coord [B, N, 3] int32, mask [B, N] bool.
+
+    ``z_sorted`` = (code_hi, code_lo, order) of the z curve (unsorted codes +
+    sort permutation, e.g. from ops.serialization) lets the plan reuse the
+    serialization sort instead of re-sorting — sorts are the compile- and
+    runtime-critical op on TPU, so every stage shares one.
+    """
     assert kernel_size % 2 == 1
     n = grid_coord.shape[1]
     limit = jnp.int32((1 << depth) - 1)
 
-    hi, lo = z_order_encode(grid_coord, depth=depth)
-    hi = jnp.where(mask, hi, SENTINEL_HI)
-    shi, slo, order = jax.lax.sort(
-        (hi, lo, jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)),
-        dimension=1,
-        num_keys=2,
-        is_stable=True,
+    if z_sorted is not None:
+        chi, clo, order = z_sorted
+        shi = jnp.take_along_axis(chi, order, axis=-1)
+        slo = jnp.take_along_axis(clo, order, axis=-1)
+    else:
+        hi, lo = z_order_encode(grid_coord, depth=depth)
+        hi = jnp.where(mask, hi, SENTINEL_HI)
+        shi, slo, order = jax.lax.sort(
+            (hi, lo, jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)),
+            dimension=1,
+            num_keys=2,
+            is_stable=False,
+        )
+
+    # One batched lower-bound over ALL kernel offsets at once: a single
+    # 16-step binary search on [B, K3*N] queries instead of K3 sequential
+    # searches — the search loop is latency-bound, so fusing the offsets into
+    # one query tensor is a ~K3x win on TPU.
+    offsets = jnp.asarray(kernel_offsets(kernel_size), jnp.int32)  # [K3, 3]
+    k3 = offsets.shape[0]
+    q = grid_coord[:, None, :, :] + offsets[None, :, None, :]  # [B, K3, N, 3]
+    in_range = jnp.all((q >= 0) & (q <= limit), axis=-1) & mask[:, None, :]
+    qc = jnp.clip(q, 0, limit)
+    qhi, qlo = z_order_encode(qc, depth=depth)  # [B, K3, N]
+
+    pos = searchsorted_pair_batched(shi, slo, qhi, qlo)  # [B, K3, N]
+    pos_c = jnp.clip(pos, 0, n - 1)
+    b = grid_coord.shape[0]
+    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
+    flat_pos = base + pos_c  # flat gather beats batched take_along_axis on TPU
+    fhi = jnp.take(shi.reshape(-1), flat_pos, axis=0)
+    flo = jnp.take(slo.reshape(-1), flat_pos, axis=0)
+    found = (
+        pair_equal(fhi, flo, qhi, qlo) & (pos < n) & in_range
     )
-
-    search = jax.vmap(searchsorted_pair)  # over batch
-
-    idx_all, valid_all = [], []
-    for off in kernel_offsets(kernel_size):
-        delta = jnp.asarray(off, jnp.int32)
-        q = grid_coord + delta
-        in_range = jnp.all((q >= 0) & (q <= limit), axis=-1) & mask
-        qc = jnp.clip(q, 0, limit)
-        qhi, qlo = z_order_encode(qc, depth=depth)
-        pos = search(shi, slo, qhi, qlo)
-        pos_c = jnp.clip(pos, 0, n - 1)
-        fhi = take_along_points(shi, pos_c)
-        flo = take_along_points(slo, pos_c)
-        found = pair_equal(fhi, flo, qhi, qlo) & (pos < n) & in_range
-        nbr = take_along_points(order, pos_c)
-        idx_all.append(nbr)
-        valid_all.append(found)
+    nbr = jnp.take(order.reshape(-1), flat_pos, axis=0)
 
     return SubMConvPlan(
-        neighbor_index=jnp.stack(idx_all, axis=1).astype(jnp.int32),
-        neighbor_valid=jnp.stack(valid_all, axis=1),
+        neighbor_index=nbr.astype(jnp.int32),
+        neighbor_valid=found,
         kernel_size=kernel_size,
     )
 

@@ -1,0 +1,124 @@
+"""Optimizer builders on optax.
+
+Replaces the reference torch builders (pointcept/utils/optimizer.py:13-48 and
+pointcept/utils/scheduler.py:8-139). Keyword param groups — e.g.
+``param_dicts=[dict(keyword="block", lr=6e-4)]`` giving transformer blocks a
+10x lower LR in the flagship config (configs/...contrastive.py:79) — map to
+``optax.multi_transform`` with path-keyword labeling. Gradient allreduce is
+implicit in pjit data parallelism, so the optimizer is device-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import optax
+
+
+def build_scheduler(cfg: Dict[str, Any], total_steps: int, base_lr: float):
+    """Build a learning-rate schedule (reference scheduler.py registry)."""
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    if kind == "OneCycleLR":
+        max_lr = cfg.get("max_lr", base_lr)
+        if isinstance(max_lr, (list, tuple)):
+            max_lr = max_lr[0]
+        return optax.cosine_onecycle_schedule(
+            transition_steps=total_steps,
+            peak_value=max_lr,
+            pct_start=cfg.get("pct_start", 0.3),
+            div_factor=cfg.get("div_factor", 25.0),
+            final_div_factor=cfg.get("final_div_factor", 1e4),
+        )
+    if kind == "CosineAnnealingLR":
+        return optax.cosine_decay_schedule(
+            init_value=base_lr, decay_steps=total_steps,
+            alpha=cfg.get("eta_min", 0.0) / max(base_lr, 1e-12),
+        )
+    if kind == "PolyLR":
+        return optax.polynomial_schedule(
+            init_value=base_lr, end_value=0.0,
+            power=cfg.get("power", 0.9), transition_steps=total_steps,
+        )
+    if kind == "ExpLR":
+        return optax.exponential_decay(
+            init_value=base_lr, transition_steps=total_steps,
+            decay_rate=cfg.get("gamma", 0.9),
+        )
+    if kind == "MultiStepLR":
+        milestones = [int(m * total_steps) for m in cfg.get("milestones", [])]
+        gamma = cfg.get("gamma", 0.1)
+        boundaries = {m: gamma for m in milestones}
+        return optax.piecewise_constant_schedule(base_lr, boundaries)
+    raise ValueError(f"unknown scheduler type: {kind}")
+
+
+def _label_params(params, param_dicts: Optional[List[Dict[str, Any]]]):
+    """Assign each param a group label by path-keyword match."""
+    keywords = [pd["keyword"] for pd in (param_dicts or [])]
+
+    def label(path, _):
+        path_str = "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        for kw in keywords:
+            if kw in path_str:
+                return kw
+        return "default"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_optimizer(
+    cfg: Dict[str, Any],
+    params,
+    scheduler_cfg: Optional[Dict[str, Any]] = None,
+    total_steps: int = 1,
+    param_dicts: Optional[List[Dict[str, Any]]] = None,
+    clip_grad: Optional[float] = None,
+) -> optax.GradientTransformation:
+    cfg = dict(cfg)
+    kind = cfg.pop("type", "AdamW")
+    base_lr = cfg.pop("lr", 1e-3)
+    weight_decay = cfg.pop("weight_decay", 0.0)
+
+    def make_tx(lr: float):
+        if scheduler_cfg is not None:
+            sched_cfg = dict(scheduler_cfg)
+            if "max_lr" in sched_cfg and isinstance(sched_cfg["max_lr"], (list, tuple)):
+                # group peak values follow the group's base lr ratio
+                sched_cfg["max_lr"] = lr
+            schedule = build_scheduler(sched_cfg, total_steps, lr)
+        else:
+            schedule = lr
+        if kind == "AdamW":
+            return optax.adamw(
+                schedule,
+                b1=cfg.get("betas", (0.9, 0.999))[0],
+                b2=cfg.get("betas", (0.9, 0.999))[1],
+                weight_decay=weight_decay,
+            )
+        if kind == "Adam":
+            return optax.adam(schedule)
+        if kind == "SGD":
+            return optax.sgd(
+                schedule, momentum=cfg.get("momentum", 0.9),
+                nesterov=cfg.get("nesterov", False),
+            )
+        raise ValueError(f"unknown optimizer type: {kind}")
+
+    group_lrs = {"default": base_lr}
+    for pd in param_dicts or []:
+        group_lrs[pd["keyword"]] = pd.get("lr", base_lr)
+
+    if len(group_lrs) == 1:
+        tx = make_tx(base_lr)
+    else:
+        labels = _label_params(params, param_dicts)
+        tx = optax.multi_transform(
+            {name: make_tx(lr) for name, lr in group_lrs.items()}, labels
+        )
+    if clip_grad is not None and clip_grad > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad), tx)
+    return tx

@@ -1,0 +1,222 @@
+"""Data layer: transforms, GridSample, collate, datasets, loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from scenesplat_tpu.data import (
+    Compose,
+    ConcatDataset,
+    Loader,
+    MultiDatasetLoader,
+    TRANSFORMS,
+    build_dataset,
+    collate_padded,
+)
+from scenesplat_tpu.data.transforms import (
+    GridSample,
+    RandomFlip,
+    RandomRotate,
+    _matrix_to_quat_wxyz,
+    _quat_wxyz_to_matrix,
+    fnv_hash_vec,
+)
+
+
+def random_scene(rng, n=1000, with_gs=True):
+    d = {
+        "coord": rng.normal(size=(n, 3)).astype(np.float32) * 2,
+        "color": rng.uniform(0, 255, (n, 3)).astype(np.float32),
+        "segment": rng.integers(-1, 5, n).astype(np.int32),
+    }
+    if with_gs:
+        q = rng.normal(size=(n, 4))
+        d["quat"] = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+        d["scale"] = rng.uniform(0.001, 0.5, (n, 3)).astype(np.float32)
+        d["opacity"] = rng.uniform(0, 1, (n, 1)).astype(np.float32)
+        d["lang_feat"] = rng.normal(size=(n, 8)).astype(np.float16)
+        d["valid_feat_mask"] = rng.random(n) > 0.3
+    return d
+
+
+def test_quat_matrix_roundtrip(rng):
+    q = rng.normal(size=(500, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    m = _quat_wxyz_to_matrix(q)
+    q2 = _matrix_to_quat_wxyz(m)
+    # quaternions are sign-ambiguous
+    dot = np.abs(np.sum(q * q2, axis=1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-6)
+
+
+def test_rotate_rotates_quat_consistently(rng):
+    d = random_scene(rng, 200)
+    before = d["quat"].copy()
+    coord_before = d["coord"].copy()
+    t = RandomRotate(angle=[0.5, 0.5], axis="z", p=1.0, center=[0, 0, 0])
+    d = t(d)
+    # coord rotated by R; gaussian orientation left-multiplied by R
+    m_before = _quat_wxyz_to_matrix(before)
+    m_after = _quat_wxyz_to_matrix(d["quat"])
+    r = m_after[0] @ m_before[0].T
+    np.testing.assert_allclose(
+        d["coord"][0], coord_before[0] @ r.T, atol=1e-4
+    )
+
+
+def test_flip_preserves_unit_quat(rng):
+    d = random_scene(rng, 100)
+    d = RandomFlip(p=1.0)(d)
+    norms = np.linalg.norm(d["quat"], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_fnv_hash_matches_reference(rng):
+    from conftest import load_reference_module
+
+    arr = rng.integers(0, 1000, (500, 3)).astype(np.int64)
+    got = fnv_hash_vec(arr)
+    ref = load_reference_module("pointcept/datasets/transform.py", "ref_transform")
+    if ref is None:
+        pytest.skip("reference not available")
+    expected = ref.GridSample.fnv_hash_vec(arr)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_grid_sample_train(rng):
+    d = random_scene(rng, 2000)
+    gs = GridSample(
+        grid_size=0.5,
+        mode="train",
+        keys=("coord", "color", "segment", "quat", "scale", "opacity",
+              "lang_feat", "valid_feat_mask"),
+        return_grid_coord=True,
+    )
+    n_cells = len(np.unique(np.floor(d["coord"] / 0.5).astype(int), axis=0))
+    out = gs(d)
+    assert out["coord"].shape[0] == n_cells
+    assert out["grid_coord"].shape == (n_cells, 3)
+    assert out["grid_coord"].min() >= 0
+    for k in ("color", "segment", "quat", "lang_feat"):
+        assert out[k].shape[0] == n_cells
+
+
+def test_grid_sample_test_fragments_cover_all_cells(rng):
+    d = random_scene(rng, 800)
+    gs = GridSample(
+        grid_size=0.8, mode="test", keys=("coord", "color", "segment"),
+        return_grid_coord=True,
+    )
+    frags = gs(d)
+    assert isinstance(frags, list) and len(frags) >= 1
+    n_cells = len(np.unique(np.floor(d["coord"] / 0.8).astype(int), axis=0))
+    for f in frags:
+        assert f["coord"].shape[0] == n_cells
+        assert "index" in f
+    all_idx = np.unique(np.concatenate([f["index"] for f in frags]))
+    # fragments jointly cover every point whose cell has <= count.max members
+    assert all_idx.size >= n_cells
+
+
+def test_collate_padded(rng):
+    samples = [random_scene(rng, n) for n in (100, 57)]
+    batch = collate_padded(samples, num_points=128)
+    assert batch["coord"].shape == (2, 128, 3)
+    assert batch["mask"].sum() == 157
+    assert batch["segment"][1, 57:].max() == -1  # padded labels are ignored
+    assert batch["segment"].dtype == np.int32
+
+
+def test_collate_mixing(rng):
+    samples = [random_scene(rng, 50) for _ in range(4)]
+    np.random.seed(0)
+    batch = collate_padded(samples, num_points=128, mix_prob=1.0)
+    assert batch["coord"].shape[0] == 2  # pairs merged
+    assert batch["mask"].sum() == 200
+
+
+@pytest.fixture(scope="module")
+def fake_dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("gsdata")
+    rng = np.random.default_rng(7)
+    for split, n_scenes in [("train", 3), ("val", 2)]:
+        for i in range(n_scenes):
+            scene = root / split / f"scene{i:04d}"
+            scene.mkdir(parents=True)
+            n = int(rng.integers(300, 600))
+            np.save(scene / "coord.npy", rng.normal(size=(n, 3)).astype(np.float32))
+            np.save(scene / "color.npy", rng.uniform(0, 255, (n, 3)).astype(np.float32))
+            np.save(scene / "quat.npy", rng.normal(size=(n, 4)).astype(np.float32))
+            np.save(scene / "scale.npy", rng.uniform(0, 2, (n, 3)).astype(np.float32))
+            np.save(scene / "opacity.npy", rng.uniform(0, 1, (n,)).astype(np.float32))
+            np.save(scene / "segment.npy", rng.integers(-1, 10, n).astype(np.int16))
+            np.save(scene / "lang_feat.npy", rng.normal(size=(n, 8)).astype(np.float16))
+            np.save(scene / "valid_feat_mask.npy", (rng.random(n) > 0.4))
+    return str(root)
+
+
+TRAIN_TRANSFORM = [
+    dict(type="CenterShift", apply_z=True),
+    dict(type="RandomRotate", angle=[-1, 1], axis="z", center=[0, 0, 0], p=0.5),
+    dict(type="RandomScale", scale=[0.9, 1.1]),
+    dict(type="RandomFlip", p=0.5),
+    dict(
+        type="GridSample",
+        grid_size=0.05,
+        hash_type="fnv",
+        mode="train",
+        keys=("coord", "color", "opacity", "quat", "scale", "segment",
+              "lang_feat", "valid_feat_mask"),
+        return_grid_coord=True,
+    ),
+    dict(type="SphereCrop", point_max=400, mode="random"),
+    dict(type="CenterShift", apply_z=False),
+    dict(type="NormalizeColor"),
+    dict(type="ToTensor"),
+    dict(
+        type="Collect",
+        keys=("coord", "grid_coord", "segment", "lang_feat", "valid_feat_mask"),
+        feat_keys=("color", "opacity", "quat", "scale"),
+    ),
+]
+
+
+def test_gs_dataset_and_loader(fake_dataset_root):
+    ds = build_dataset(
+        dict(
+            type="ScanNetPPGSDataset",
+            split="train",
+            data_root=fake_dataset_root,
+            transform=TRAIN_TRANSFORM,
+            loop=2,
+        )
+    )
+    assert len(ds) == 6  # 3 scenes x loop 2
+    sample = ds[0]
+    assert sample["feat"].shape[1] == 11  # color3 + opacity1 + quat4 + scale3
+    assert sample["coord"].shape[0] == sample["feat"].shape[0]
+    assert sample["grid_coord"].min() >= 0
+
+    loader = Loader(ds, batch_size=2, num_points=512, num_workers=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["coord"].shape == (2, 512, 3)
+        assert b["feat"].shape == (2, 512, 11)
+        assert b["mask"].any(axis=1).all()
+
+
+def test_multi_dataset_loader(fake_dataset_root):
+    cfg = dict(
+        type="ScanNetPPGSDataset",
+        split="train",
+        data_root=fake_dataset_root,
+        transform=TRAIN_TRANSFORM,
+    )
+    concat = ConcatDataset(
+        datasets=[dict(cfg, loop=2), dict(cfg, loop=1)],
+    )
+    loader = MultiDatasetLoader(concat, batch_size=1, num_points=512, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 9  # 3*2 + 3*1 scenes
