@@ -1,0 +1,198 @@
+"""Common hooks (reference: pointcept/engines/hooks/misc.py).
+
+CheckpointSaver/Loader use orbax with the reference's last/best semantics:
+atomic directory write, ``model_last`` every eval epoch, ``model_best`` copied
+when the tracked metric (e.g. fg_mIoU) improves (reference misc.py:146-300).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import jax
+import numpy as np
+
+from scenesplat_tpu.utils.logger import get_root_logger
+from .default import HOOKS, HookBase
+
+
+@HOOKS.register_module()
+class IterationTimer(HookBase):
+    """data/batch timing + ETA (reference misc.py:32-75)."""
+
+    def __init__(self, warmup_iter: int = 2):
+        self._warmup_iter = warmup_iter
+        self._start_time = time.perf_counter()
+        self._iter_start = time.perf_counter()
+
+    def before_train(self):
+        self._start_time = time.perf_counter()
+
+    def before_epoch(self):
+        self._iter_start = time.perf_counter()
+
+    def before_step(self):
+        data_time = time.perf_counter() - self._iter_start
+        self.trainer.storage.put_scalar("data_time", data_time)
+
+    def after_step(self):
+        batch_time = time.perf_counter() - self._iter_start
+        self._iter_start = time.perf_counter()
+        self.trainer.storage.put_scalar("batch_time", batch_time)
+
+
+@HOOKS.register_module()
+class InformationWriter(HookBase):
+    """Console + JSON metrics emission (reference misc.py:78-143)."""
+
+    def __init__(self, log_interval: int = 10):
+        self.log_interval = log_interval
+
+    def before_train(self):
+        from scenesplat_tpu.utils.events import JSONWriter, TensorboardWriter
+
+        save_path = self.trainer.cfg.get("save_path", "exp/default")
+        self.json_writer = JSONWriter(os.path.join(save_path, "metrics.json"))
+        self.tb_writer = TensorboardWriter(os.path.join(save_path, "tb"))
+
+    def after_step(self):
+        storage = self.trainer.storage
+        if storage.iter % self.log_interval == 0:
+            lr = storage.latest.get("lr")
+            msgs = [
+                f"epoch {self.trainer.epoch + 1}/{self.trainer.max_epoch}",
+                f"iter {storage.iter}",
+            ]
+            for key in ("loss", "grad_norm", "data_time", "batch_time"):
+                if key in storage.latest:
+                    msgs.append(f"{key}: {storage.latest[key]:.4g}")
+            if lr is not None:
+                msgs.append(f"lr: {lr:.3e}")
+            self.trainer.logger.info("  ".join(msgs))
+            self.json_writer.write(storage)
+            self.tb_writer.write(storage)
+
+    def after_epoch(self):
+        self.json_writer.write(self.trainer.storage)
+        self.tb_writer.write(self.trainer.storage)
+
+    def after_train(self):
+        self.json_writer.close()
+        self.tb_writer.close()
+
+
+@HOOKS.register_module()
+class CheckpointSaver(HookBase):
+    """Save model_last each epoch and copy model_best when the metric improves
+    (reference misc.py:146-204)."""
+
+    def __init__(self, save_freq=None):
+        self.save_freq = save_freq
+
+    def before_train(self):
+        import orbax.checkpoint as ocp
+
+        self._ckptr = ocp.StandardCheckpointer()
+        self.ckpt_dir = os.path.abspath(
+            os.path.join(self.trainer.cfg.get("save_path", "exp/default"), "model")
+        )
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+
+    def _save(self, name: str):
+        path = os.path.join(self.ckpt_dir, name)
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        state = self.trainer.state
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "batch_stats": state.batch_stats,
+            "step": state.step,
+            "rng": state.rng,
+            "meta": {
+                "epoch": np.asarray(self.trainer.epoch + 1),
+                "best_metric": np.asarray(
+                    self.trainer.comm_info.get("best_metric_value", -1.0)
+                ),
+            },
+        }
+        self._ckptr.save(tmp, payload)
+        self._ckptr.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    def after_epoch(self):
+        metric = self.trainer.comm_info.get("current_metric_value")
+        best = self.trainer.comm_info.get("best_metric_value", -np.inf)
+        is_best = metric is not None and metric > best
+        if is_best:
+            self.trainer.comm_info["best_metric_value"] = metric
+            name = self.trainer.comm_info.get("current_metric_name", "metric")
+            self.trainer.logger.info(
+                f"new best {name}: {metric:.4f} (epoch {self.trainer.epoch + 1})"
+            )
+        self._save("model_last")
+        if is_best:
+            best_path = os.path.join(self.ckpt_dir, "model_best")
+            if os.path.exists(best_path):
+                shutil.rmtree(best_path)
+            shutil.copytree(os.path.join(self.ckpt_dir, "model_last"), best_path)
+        if self.save_freq and (self.trainer.epoch + 1) % self.save_freq == 0:
+            self._save(f"epoch_{self.trainer.epoch + 1}")
+
+
+@HOOKS.register_module()
+class CheckpointLoader(HookBase):
+    """Resume / warm-start (reference misc.py:207-300): restores params (+
+    optimizer/epoch when resume=True) from cfg.weight."""
+
+    def __init__(self, keywords="", replacement=None, strict=False):
+        self.keywords = keywords
+        self.replacement = replacement if replacement is not None else keywords
+        self.strict = strict
+
+    def before_train(self):
+        import orbax.checkpoint as ocp
+
+        weight = self.trainer.cfg.get("weight")
+        if not weight:
+            return
+        if not os.path.exists(weight):
+            raise FileNotFoundError(f"checkpoint not found: {weight}")
+        self.trainer.logger.info(f"loading checkpoint: {weight}")
+        ckptr = ocp.StandardCheckpointer()
+        state = self.trainer.state
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "batch_stats": state.batch_stats,
+            "step": state.step,
+            "rng": state.rng,
+            "meta": {
+                "epoch": np.asarray(0),
+                "best_metric": np.asarray(-1.0),
+            },
+        }
+        payload = ckptr.restore(os.path.abspath(weight), template)
+        resume = self.trainer.cfg.get("resume", False)
+        new_state = state.replace(
+            params=payload["params"], batch_stats=payload["batch_stats"]
+        )
+        if resume:
+            new_state = new_state.replace(
+                opt_state=payload["opt_state"],
+                step=payload["step"],
+                rng=payload["rng"],
+            )
+            self.trainer.start_epoch = int(payload["meta"]["epoch"])
+            self.trainer.comm_info["best_metric_value"] = float(
+                payload["meta"]["best_metric"]
+            )
+        self.trainer.state = new_state
+        self.trainer.logger.info(
+            f"checkpoint loaded (resume={resume}, epoch={self.trainer.start_epoch})"
+        )

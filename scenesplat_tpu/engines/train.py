@@ -1,0 +1,224 @@
+"""Trainers (reference: pointcept/engines/train.py:35-374).
+
+Hook-driven epoch/step loop around a jitted functional train step. The
+reference's AMP autocast + GradScaler is replaced by bf16 compute dtype
+(no scaler needed); DDP by pjit data-parallel sharding; per-rank loaders by a
+single-controller loader whose batch dim is sharded over the mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from scenesplat_tpu.data import (
+    ConcatDataset,
+    Loader,
+    MultiDatasetLoader,
+    build_dataset,
+)
+from scenesplat_tpu.engines.hooks.default import HookBase, build_hooks
+from scenesplat_tpu.engines.train_step import (
+    create_train_state,
+    make_train_step,
+    point_from_batch,
+)
+from scenesplat_tpu.models import build_criteria, build_model
+from scenesplat_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
+from scenesplat_tpu.utils.events import EventStorage
+from scenesplat_tpu.utils.logger import get_root_logger
+from scenesplat_tpu.utils.optimizer import build_optimizer, build_scheduler
+from scenesplat_tpu.utils.registry import Registry
+
+TRAINERS = Registry("trainers")
+
+
+class TrainerBase:
+    def __init__(self):
+        self.hooks = []
+        self.epoch = 0
+        self.start_epoch = 0
+        self.max_epoch = 0
+        self.comm_info = {}
+        self.storage: Optional[EventStorage] = None
+
+    def register_hooks(self, hooks_cfg):
+        self.hooks = build_hooks(hooks_cfg)
+        for h in self.hooks:
+            assert isinstance(h, HookBase)
+            h.trainer = self
+
+    def call_hooks(self, phase: str):
+        for h in self.hooks:
+            getattr(h, phase)()
+
+    def train(self):
+        with EventStorage() as self.storage:
+            self.before_train()
+            self.call_hooks("before_train")
+            for self.epoch in range(self.start_epoch, self.max_epoch):
+                self.before_epoch()
+                self.call_hooks("before_epoch")
+                self.run_epoch()
+                self.call_hooks("after_epoch")
+            self.call_hooks("after_train")
+            self.after_train()
+
+    # overridable
+    def before_train(self):
+        pass
+
+    def before_epoch(self):
+        pass
+
+    def run_epoch(self):
+        raise NotImplementedError
+
+    def after_train(self):
+        pass
+
+
+@TRAINERS.register_module("DefaultTrainer")
+class Trainer(TrainerBase):
+    """Single-dataset trainer; task inferred from the model type."""
+
+    TASKS = {"LangPretrainer": "lang", "DefaultSegmentorV2": "semseg"}
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        self.logger = get_root_logger(
+            log_file=os.path.join(cfg.get("save_path", "exp/default"), "train.log")
+        )
+        self.max_epoch = cfg.get("epoch", 100)
+        self.mesh = create_mesh()
+        self.logger.info(
+            f"devices: {jax.device_count()} ({jax.default_backend()}), "
+            f"mesh: {self.mesh.shape}"
+        )
+
+        model_cfg = dict(cfg.model)
+        criteria_cfg = model_cfg.pop("criteria", None)
+        self.task = cfg.get("task", self.TASKS.get(model_cfg.get("type"), "lang"))
+        self.model = build_model(model_cfg)
+        self.criteria = build_criteria(criteria_cfg)
+
+        self.train_loader = self.build_train_loader()
+        total_steps = len(self.train_loader) * self.max_epoch
+        self.logger.info(
+            f"train loader: {len(self.train_loader)} steps/epoch x "
+            f"{self.max_epoch} epochs"
+        )
+
+        # two-phase optimizer build: params are needed for keyword groups
+        example_batch = next(iter(self.train_loader))
+        tx0 = build_optimizer(
+            dict(cfg.optimizer), None, dict(cfg.get("scheduler") or {}) or None,
+            total_steps, clip_grad=cfg.get("clip_grad"),
+        )
+        self.state = create_train_state(
+            self.model, tx0, point_from_batch(_to_jnp(example_batch)),
+            seed=cfg.get("seed", 0),
+        )
+        self.tx = build_optimizer(
+            dict(cfg.optimizer),
+            self.state.params,
+            dict(cfg.get("scheduler") or {}) or None,
+            total_steps,
+            param_dicts=[dict(p) for p in cfg.get("param_dicts") or []],
+            clip_grad=cfg.get("clip_grad"),
+        )
+        self.state = self.state.replace(opt_state=self.tx.init(self.state.params))
+        self.lr_schedule = (
+            build_scheduler(
+                dict(cfg.scheduler), total_steps, cfg.optimizer.get("lr", 1e-3)
+            )
+            if cfg.get("scheduler")
+            else None
+        )
+
+        step_fn = make_train_step(self.model, self.criteria, self.tx, task=self.task)
+        self._jit_step = jax.jit(
+            step_fn,
+            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
+            donate_argnums=(0,),
+        )
+        self.register_hooks(cfg.get("hooks"))
+
+    # ---- data ----------------------------------------------------------
+    def build_train_loader(self):
+        dataset = build_dataset(dict(self.cfg.data.train))
+        return Loader(
+            dataset,
+            batch_size=self.cfg.get("batch_size", 1),
+            num_points=self.cfg.data.get("num_points", 65536),
+            mix_prob=self.cfg.get("mix_prob", 0.0),
+            seed=self.cfg.get("seed", 0),
+            num_workers=self.cfg.get("num_worker", 4),
+        )
+
+    # ---- loop ------------------------------------------------------------
+    def run_epoch(self):
+        self.train_loader.set_epoch(self.epoch)
+        sharding = batch_sharding(self.mesh)
+        for batch in self.train_loader:
+            self.call_hooks("before_step")
+            self.run_step(batch, sharding)
+            self.call_hooks("after_step")
+            self.storage.step()
+
+    def run_step(self, batch, sharding):
+        device_batch = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and v.ndim >= 1:
+                device_batch[k] = jax.device_put(v, sharding)
+            else:
+                device_batch[k] = v
+        device_batch["epoch_progress"] = float(
+            (self.epoch + 1) / max(self.max_epoch, 1)
+        )
+        self.state, metrics = self._jit_step(self.state, device_batch)
+        self.storage.put_scalar("loss", float(metrics["loss"]))
+        self.storage.put_scalar("grad_norm", float(metrics["grad_norm"]))
+        if self.lr_schedule is not None:
+            self.storage.put_scalar(
+                "lr", float(self.lr_schedule(int(self.state.step) - 1))
+            )
+
+    def after_train(self):
+        self.logger.info("training finished")
+
+
+@TRAINERS.register_module("MultiDatasetTrainer")
+class MultiDatasetTrainer(Trainer):
+    """Ratio-interleaved multi-dataset training (reference train.py:346-374)."""
+
+    def build_train_loader(self):
+        dataset = build_dataset(dict(self.cfg.data.train))
+        assert isinstance(dataset, ConcatDataset)
+        return MultiDatasetLoader(
+            dataset,
+            batch_size=self.cfg.get("batch_size", 1),
+            num_points=self.cfg.data.get("num_points", 65536),
+            mix_prob=self.cfg.get("mix_prob", 0.0),
+            seed=self.cfg.get("seed", 0),
+            num_workers=self.cfg.get("num_worker", 4),
+        )
+
+
+def _to_jnp(batch):
+    import jax.numpy as jnp
+
+    return {
+        k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+        for k, v in batch.items()
+    }
+
+
+def build_trainer(cfg):
+    train_cfg = dict(cfg.get("train") or {"type": "DefaultTrainer"})
+    kind = train_cfg.pop("type")
+    return TRAINERS.get(kind)(cfg, **train_cfg)

@@ -228,6 +228,7 @@ class SerializedPooling(nn.Module):
     out_channels: int
     stride: int = 2
     reduce: str = "mean"
+    packed: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -241,7 +242,7 @@ class SerializedPooling(nn.Module):
         x = pool_values(plan, x, self.reduce)
         coord = pool_values(plan, state.coord, "mean")
         grid_coord = take_along_points(state.grid_coord, plan.head_index) >> pooling_depth
-        ser = pool_serialization(plan, state.ser, pooling_depth)
+        ser = pool_serialization(plan, state.ser, pooling_depth, packed=self.packed)
         mask = plan.out_mask
         x = MaskedBatchNorm(self.out_channels, dtype=self.dtype, name="norm")(
             x, mask, use_running_average=deterministic
@@ -403,6 +404,7 @@ class PointTransformerV3(nn.Module):
                     out_channels=self.enc_channels[s],
                     stride=self.stride[s - 1],
                     reduce=self.pool_reduce,
+                    packed=self.serialization_depth <= 10,
                     dtype=self.dtype,
                     name=f"enc{s}_down",
                 )(feat, state, cap, deterministic)

@@ -112,20 +112,30 @@ def pair_prefix_xor(hi: jnp.ndarray, lo: jnp.ndarray, total_bits: int):
     return hi, lo
 
 
-def lexsort_pair(hi: jnp.ndarray, lo: jnp.ndarray, axis: int = -1):
-    """Stable sort of 48-bit pairs along ``axis``.
+def lexsort_pair(hi: jnp.ndarray, lo: jnp.ndarray, axis: int = -1, packed: bool = False):
+    """Sort 48-bit pairs along ``axis``.
 
     Returns (sorted_hi, sorted_lo, order) where ``order`` holds the source
-    index of each sorted slot (int32).
+    index of each sorted slot (int32). With ``packed=True`` (codes known to
+    fit the lo lane, i.e. serialization depth <= 10 so 3*depth <= 30 bits and
+    hi == 0 for all real codes) the hi lane is skipped: a 1-key sort is
+    measurably cheaper on TPU and covers the common 2 cm / room-scale case.
     """
-    n = hi.shape[axis]
-    iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, hi.ndim + axis if axis < 0 else axis)
+    axis = axis % hi.ndim
+    iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, axis)
     # is_stable=False: stability is never required (ties = same voxel) and
     # stable variadic sorts compile ~20-50x slower on the TPU toolchain
+    if packed:
+        key = jnp.where(hi != 0, jnp.uint32(0xFFFFFFFF), lo)  # fold sentinel
+        sorted_key, order = jax.lax.sort(
+            (key, iota), dimension=axis, num_keys=1, is_stable=False
+        )
+        sorted_hi = jnp.where(sorted_key == jnp.uint32(0xFFFFFFFF), SENTINEL_HI, 0)
+        sorted_lo = jnp.where(sorted_key == jnp.uint32(0xFFFFFFFF), 0, sorted_key)
+        return sorted_hi.astype(jnp.uint32), sorted_lo.astype(jnp.uint32), order
     sorted_hi, sorted_lo, order = jax.lax.sort(
-        (hi, lo, iota), dimension=axis % hi.ndim, num_keys=2, is_stable=False
+        (hi, lo, iota), dimension=axis, num_keys=2, is_stable=False
     )
-    del n
     return sorted_hi, sorted_lo, order
 
 
@@ -174,6 +184,152 @@ def searchsorted_pair(
 
     left, right = jax.lax.fori_loop(0, n_iter + 1, body, (left, right))
     return left
+
+
+def lookup_pair_batched(
+    data_hi: jnp.ndarray,
+    data_lo: jnp.ndarray,
+    query_hi: jnp.ndarray,
+    query_lo: jnp.ndarray,
+    data_payload: jnp.ndarray | None = None,
+    packed: bool = False,
+):
+    """Exact-match lookup of 48-bit queries in sorted data via merge-join.
+
+    data [B, N] (rows sorted ascending), queries [B, ...] ->
+    (payload, found): per query, the matched data entry's ``data_payload``
+    value (default: its sorted position) and a found flag.
+
+    TPU rationale: binary search needs log2(N) *sequential scalar gathers*,
+    which lower to element-at-a-time DMA (~250 ms for 880k queries measured
+    on v5e). A merge-join is two cheap vectorized sorts plus a "latest data
+    entry" associative scan — no gathers at all. The payload rides the scan,
+    so even the result gather is free. This mirrors
+    jnp.searchsorted(method='sort'), generalized to 2-word keys, batch, and
+    payload propagation.
+    """
+    b, n = data_hi.shape
+    qshape = query_hi.shape
+    m = int(np.prod(qshape[1:])) if qshape[1:] else 1
+    qhi = query_hi.reshape(b, m)
+    qlo = query_lo.reshape(b, m)
+    if data_payload is None:
+        data_payload = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None], (b, n)
+        )
+    if packed:
+        return _lookup_packed(
+            data_hi, data_lo, qhi, qlo, data_payload, qshape
+        )
+
+    khi = jnp.concatenate([data_hi, qhi], axis=-1)
+    klo = jnp.concatenate([data_lo, qlo], axis=-1)
+    # flag 0 = data, 1 = query; as 3rd sort key it places data before equal
+    # queries, so a query's predecessor chain contains its match
+    flag = jnp.concatenate(
+        [jnp.zeros((b, n), jnp.int32), jnp.ones((b, m), jnp.int32)], axis=-1
+    )
+    qid = jnp.concatenate(
+        [
+            jnp.full((b, n), m, jnp.int32),  # data slots sort after all queries
+            jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None], (b, m)),
+        ],
+        axis=-1,
+    )
+    payload = jnp.concatenate(
+        [data_payload.astype(jnp.int32), jnp.zeros((b, m), jnp.int32)], axis=-1
+    )
+    shi, slo, sflag, sqid, spay = jax.lax.sort(
+        (khi, klo, flag, qid, payload), dimension=-1, num_keys=3, is_stable=False
+    )
+
+    is_data = sflag == 0
+
+    # "latest data entry before me" scan: key lanes for the equality check,
+    # payload lane for the result, has_data lane for validity
+    def combine(a, bb):
+        ahi, alo, apay, ad = a
+        bhi, blo, bpay, bd = bb
+        return (
+            jnp.where(bd, bhi, ahi),
+            jnp.where(bd, blo, alo),
+            jnp.where(bd, bpay, apay),
+            ad | bd,
+        )
+
+    lhi, llo, lpay, has_data = jax.lax.associative_scan(
+        combine,
+        (
+            jnp.where(is_data, shi, 0),
+            jnp.where(is_data, slo, 0),
+            jnp.where(is_data, spay, 0),
+            is_data,
+        ),
+        axis=-1,
+    )
+    found_sorted = has_data & pair_equal(lhi, llo, shi, slo) & ~is_data
+
+    # return to query order: sort by qid (data slots have qid=m, sort last)
+    _, pay_q, found_q = jax.lax.sort(
+        (sqid, lpay, found_sorted.astype(jnp.int32)),
+        dimension=-1,
+        num_keys=1,
+        is_stable=False,
+    )
+    out_pay = pay_q[:, :m].reshape(qshape)
+    found = (found_q[:, :m] > 0).reshape(qshape)
+    return out_pay, found
+
+
+def _lookup_packed(data_hi, data_lo, qhi, qlo, data_payload, qshape):
+    """Packed (depth <= 10) merge-join: codes fit the lo lane, so the sort key
+    is one uint32 with the data/query flag folded into its LSB — a 3-operand
+    1-key sort instead of 5-operand 3-key, and a 3-lane scan instead of 4."""
+    b, n = data_hi.shape
+    m = qhi.shape[-1]
+    sentinel = jnp.uint32(0xFFFFFFFE)  # even (data flag) and above any code<<1
+    dkey = jnp.where(data_hi != 0, sentinel, data_lo << 1)
+    qkey = (qlo << 1) | jnp.uint32(1)
+    key = jnp.concatenate([dkey, qkey], axis=-1)
+    qid = jnp.concatenate(
+        [
+            jnp.full((b, n), m, jnp.int32),
+            jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None], (b, m)),
+        ],
+        axis=-1,
+    )
+    payload = jnp.concatenate(
+        [data_payload.astype(jnp.int32), jnp.zeros((b, m), jnp.int32)], axis=-1
+    )
+    skey, sqid, spay = jax.lax.sort(
+        (key, qid, payload), dimension=-1, num_keys=1, is_stable=False
+    )
+    is_data = (skey & jnp.uint32(1)) == 0
+    code = skey >> 1
+
+    def combine(a, bb):
+        ac, apay, ad = a
+        bc, bpay, bd = bb
+        return (
+            jnp.where(bd, bc, ac),
+            jnp.where(bd, bpay, apay),
+            ad | bd,
+        )
+
+    lcode, lpay, has_data = jax.lax.associative_scan(
+        combine,
+        (jnp.where(is_data, code, 0), jnp.where(is_data, spay, 0), is_data),
+        axis=-1,
+    )
+    found_sorted = has_data & (lcode == code) & ~is_data & (skey != sentinel)
+
+    _, pay_q, found_q = jax.lax.sort(
+        (sqid, lpay, found_sorted.astype(jnp.int32)),
+        dimension=-1,
+        num_keys=1,
+        is_stable=False,
+    )
+    return pay_q[:, :m].reshape(qshape), (found_q[:, :m] > 0).reshape(qshape)
 
 
 def searchsorted_pair_batched(

@@ -192,6 +192,7 @@ def pool_serialization(
     plan: PoolingPlan,
     ser: Serialization,
     pooling_depth: int = 1,
+    packed: bool = False,
 ) -> Serialization:
     """Per-curve codes/orders for the pooled points: shift head codes and
     re-sort (reference point_transformer_v3m1_base.py:398-407)."""
@@ -201,7 +202,7 @@ def pool_serialization(
     lo = jnp.take_along_axis(ser.code_lo, head, axis=-1)
     hi, lo = pair_shift_right(hi, lo, 3 * pooling_depth)
     hi = jnp.where(plan.out_mask[None], hi, SENTINEL_HI)
-    order, inverse = sort_codes(hi, lo)
+    order, inverse = sort_codes(hi, lo, packed=packed)
     return Serialization(
         code_hi=hi, code_lo=lo, order=order, inverse=inverse, perm=ser.perm
     )

@@ -68,9 +68,11 @@ def compute_codes(
     return jnp.stack(his), jnp.stack(los)
 
 
-def sort_codes(code_hi: jnp.ndarray, code_lo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def sort_codes(
+    code_hi: jnp.ndarray, code_lo: jnp.ndarray, packed: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Return (order, inverse) permutations along the last axis."""
-    _, _, order = lexsort_pair(code_hi, code_lo, axis=-1)
+    _, _, order = lexsort_pair(code_hi, code_lo, axis=-1, packed=packed)
     inverse = invert_order(order, axis=-1)
     return order, inverse
 
@@ -82,7 +84,7 @@ def serialize(
     depth: int = 16,
 ) -> Serialization:
     code_hi, code_lo = compute_codes(grid_coord, mask, orders, depth)
-    order, inverse = sort_codes(code_hi, code_lo)
+    order, inverse = sort_codes(code_hi, code_lo, packed=depth <= 10)
     return Serialization(
         code_hi=code_hi,
         code_lo=code_lo,

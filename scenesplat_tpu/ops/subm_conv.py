@@ -25,7 +25,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .bitops import SENTINEL_HI, pair_equal, searchsorted_pair_batched
+from .bitops import SENTINEL_HI, lookup_pair_batched
 from .curves import z_order_encode
 from .serialization import take_along_points
 
@@ -80,28 +80,19 @@ def build_subm_conv_plan(
             is_stable=False,
         )
 
-    # One batched lower-bound over ALL kernel offsets at once: a single
-    # 16-step binary search on [B, K3*N] queries instead of K3 sequential
-    # searches — the search loop is latency-bound, so fusing the offsets into
-    # one query tensor is a ~K3x win on TPU.
+    # All kernel offsets resolved by ONE sort-based merge-join (see
+    # bitops.lookup_pair_batched): the matched neighbor's original index rides
+    # the scan as payload, so the plan needs zero scalar gathers.
     offsets = jnp.asarray(kernel_offsets(kernel_size), jnp.int32)  # [K3, 3]
-    k3 = offsets.shape[0]
     q = grid_coord[:, None, :, :] + offsets[None, :, None, :]  # [B, K3, N, 3]
     in_range = jnp.all((q >= 0) & (q <= limit), axis=-1) & mask[:, None, :]
     qc = jnp.clip(q, 0, limit)
     qhi, qlo = z_order_encode(qc, depth=depth)  # [B, K3, N]
 
-    pos = searchsorted_pair_batched(shi, slo, qhi, qlo)  # [B, K3, N]
-    pos_c = jnp.clip(pos, 0, n - 1)
-    b = grid_coord.shape[0]
-    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
-    flat_pos = base + pos_c  # flat gather beats batched take_along_axis on TPU
-    fhi = jnp.take(shi.reshape(-1), flat_pos, axis=0)
-    flo = jnp.take(slo.reshape(-1), flat_pos, axis=0)
-    found = (
-        pair_equal(fhi, flo, qhi, qlo) & (pos < n) & in_range
+    nbr, found = lookup_pair_batched(
+        shi, slo, qhi, qlo, data_payload=order, packed=depth <= 10
     )
-    nbr = jnp.take(order.reshape(-1), flat_pos, axis=0)
+    found = found & in_range
 
     return SubMConvPlan(
         neighbor_index=nbr.astype(jnp.int32),

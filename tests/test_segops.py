@@ -118,3 +118,18 @@ def test_pooling_overflow_capacity(rng):
     plan = segops.build_pooling_plan(ser, jnp.asarray(mask), out_capacity=16)
     assert int(plan.n_overflow[0]) == int(plan.n_clusters[0]) - 16
     assert int(plan.out_mask[0].sum()) == 16
+
+
+def test_pool_serialization_packed(rng):
+    gc, mask, _ = make_batch(rng, b=2, n=256, extent=16)
+    import jax.numpy as jnp
+
+    ser10 = serialize(jnp.asarray(gc), jnp.asarray(mask), orders=("z", "hilbert"), depth=10)
+    plan = segops.build_pooling_plan(ser10, jnp.asarray(mask), out_capacity=128)
+    pser = segops.pool_serialization(plan, ser10, packed=True)
+    for s in range(2):
+        for bi in range(2):
+            nvalid = int(plan.out_mask[bi].sum())
+            idx = np.asarray(pser.order[s, bi][:nvalid])
+            lo = np.asarray(pser.code_lo[s, bi])
+            assert (np.diff(lo[idx].astype(np.int64)) >= 0).all()

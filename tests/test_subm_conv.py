@@ -88,3 +88,23 @@ def test_center_offset_is_identity(rng):
     m = mask[0]
     assert valid[m].all()
     np.testing.assert_array_equal(idx[m], np.nonzero(m)[0])
+
+
+def test_plan_packed_depth10(rng):
+    """Packed (depth<=10) lookup path must match the generic pair path."""
+    gc, mask = make_scene(rng, b=2, n=150, extent=12)
+    import jax.numpy as jnp
+
+    plan16 = subm_conv.build_subm_conv_plan(
+        jnp.asarray(gc), jnp.asarray(mask), kernel_size=3, depth=16
+    )
+    plan10 = subm_conv.build_subm_conv_plan(
+        jnp.asarray(gc), jnp.asarray(mask), kernel_size=3, depth=10
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plan10.neighbor_valid), np.asarray(plan16.neighbor_valid)
+    )
+    v = np.asarray(plan10.neighbor_valid)
+    np.testing.assert_array_equal(
+        np.asarray(plan10.neighbor_index)[v], np.asarray(plan16.neighbor_index)[v]
+    )
