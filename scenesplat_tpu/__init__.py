@@ -7,6 +7,18 @@ SceneSplat/Pointcept stack (see SURVEY.md).
 __version__ = "0.1.0"
 
 
+def apply_platform_env():
+    """Honor SCENESPLAT_PLATFORM=cpu|tpu via the config API (some hosts
+    override the JAX_PLATFORMS env var at import time)."""
+    import os
+
+    platform = os.environ.get("SCENESPLAT_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def setup_compilation_cache(path: str = "/tmp/scenesplat_jax_cache"):
     """Enable JAX's persistent compilation cache.
 

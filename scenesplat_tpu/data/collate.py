@@ -98,13 +98,22 @@ def collate_padded(
     mix_prob: float = 0.0,
     cast_dtypes: bool = True,
 ) -> Dict[str, np.ndarray]:
-    """Collate sample dicts to a dict of [B, num_points, ...] arrays + mask."""
-    if mix_prob > 0 and len(samples) > 1 and np.random.rand() < mix_prob:
+    """Collate sample dicts to a dict of [B, num_points, ...] arrays + mask.
+
+    With mix_prob > 0 the loader supplies 2B samples; slot i keeps sample 2i
+    and, with probability mix_prob, merges sample 2i+1 into it. Unlike the
+    reference (which merges offset pairs and halves the logical batch,
+    datasets/utils.py:37-48), the batch dimension stays static for jit.
+    """
+    if mix_prob > 0 and len(samples) > 1:
         mixed = []
         it = iter(samples)
         for a in it:
             b = next(it, None)
-            mixed.append(a if b is None else _merge_two(a, b))
+            if b is not None and np.random.rand() < mix_prob:
+                mixed.append(_merge_two(a, b))
+            else:
+                mixed.append(a)
         samples = mixed
 
     padded = [pad_sample(s, num_points) for s in samples]

@@ -43,13 +43,16 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.epoch = 0
+        # Mix3D consumes two source samples per batch slot (see collate)
+        self.samples_per_batch = batch_size * (2 if mix_prob > 0 else 1)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        spb = self.samples_per_batch
+        return n // spb if self.drop_last else -(-n // spb)
 
     def _index_order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -65,7 +68,8 @@ class Loader:
             pending = queue.Queue()
 
             def submit(bi):
-                batch_idx = order[bi * self.batch_size : (bi + 1) * self.batch_size]
+                spb = self.samples_per_batch
+                batch_idx = order[bi * spb : (bi + 1) * spb]
                 futures = [pool.submit(self.dataset.__getitem__, int(i)) for i in batch_idx]
                 pending.put(futures)
 

@@ -196,3 +196,58 @@ class CheckpointLoader(HookBase):
         self.trainer.logger.info(
             f"checkpoint loaded (resume={resume}, epoch={self.trainer.start_epoch})"
         )
+
+
+@HOOKS.register_module()
+class PreciseEvaluator(HookBase):
+    """Run the configured testers after training (reference misc.py:303-352),
+    loading model_best unless ``test_last``."""
+
+    def __init__(self, test_last: bool = False):
+        self.test_last = test_last
+
+    def after_train(self):
+        import orbax.checkpoint as ocp
+
+        from scenesplat_tpu.engines.test import build_tester
+
+        cfg = self.trainer.cfg
+        test_cfgs = cfg.get("test")
+        data_test = cfg.data.get("test")
+        if not test_cfgs or data_test is None:
+            return
+        test_cfgs = test_cfgs if isinstance(test_cfgs, (list, tuple)) else [test_cfgs]
+        data_cfgs = (
+            data_test if isinstance(data_test, (list, tuple)) else [data_test]
+        )
+        state = self.trainer.state
+        if not self.test_last:
+            best = os.path.join(
+                cfg.get("save_path", "exp/default"), "model", "model_best"
+            )
+            if os.path.exists(best):
+                ckptr = ocp.StandardCheckpointer()
+                template = {
+                    "params": state.params,
+                    "opt_state": state.opt_state,
+                    "batch_stats": state.batch_stats,
+                    "step": state.step,
+                    "rng": state.rng,
+                    "meta": {
+                        "epoch": np.asarray(0),
+                        "best_metric": np.asarray(-1.0),
+                    },
+                }
+                payload = ckptr.restore(os.path.abspath(best), template)
+                state = state.replace(
+                    params=payload["params"], batch_stats=payload["batch_stats"]
+                )
+                self.trainer.logger.info("PreciseEvaluator: loaded model_best")
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        backbone_cfg = cfg.model.get("backbone", cfg.model)
+        patch = max(backbone_cfg.get("enc_patch_size", [1024]))
+        for tc, dc in zip(test_cfgs, data_cfgs):
+            tester = build_tester(
+                tc, self.trainer.model, variables, dc, patch_size=patch
+            )
+            tester.test()

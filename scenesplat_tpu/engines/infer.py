@@ -1,0 +1,92 @@
+"""Bucketed eval-time feature extraction.
+
+Pads each eval scene to the smallest configured bucket and runs a per-bucket
+jitted forward; scenes above the largest bucket are split into independent
+chunks, mirroring the reference's chunked eval forward
+(pointcept/models/default.py:115-176, chunk_size=600000 in
+engines/hooks/evaluator.py:762).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+from scenesplat_tpu.models.structure import PointBatch
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+class FeatureExtractor:
+    def __init__(
+        self,
+        model,
+        patch_size: int = 1024,
+        buckets: Optional[Sequence[int]] = None,
+        chunk_size: int = 524288,
+    ):
+        self.model = model
+        self.patch_size = patch_size
+        self.buckets = sorted(buckets) if buckets else None
+        self.chunk_size = chunk_size
+        self._jitted = {}
+
+    def _bucket(self, n: int) -> int:
+        if self.buckets:
+            for b in self.buckets:
+                if n <= b:
+                    return b
+            return self.buckets[-1]
+        return max(self.patch_size, _round_up(n, self.patch_size))
+
+    def _fn(self, bucket: int):
+        if bucket not in self._jitted:
+
+            def fwd(variables, coord, feat, grid_coord, mask):
+                point = PointBatch(
+                    coord=coord, feat=feat, grid_coord=grid_coord, mask=mask
+                )
+                out = self.model.apply(variables, point, train=False)
+                return out.feat
+
+            self._jitted[bucket] = jax.jit(fwd)
+        return self._jitted[bucket]
+
+    def _run_chunk(self, variables, coord, feat, grid_coord) -> np.ndarray:
+        n = coord.shape[0]
+        bucket = self._bucket(n)
+        pad = bucket - n
+        mask = np.zeros(bucket, bool)
+        mask[:n] = True
+
+        def padded(x):
+            return np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+        out = self._fn(bucket)(
+            variables,
+            padded(coord)[None],
+            padded(feat)[None],
+            padded(grid_coord)[None],
+            mask[None],
+        )
+        return np.asarray(out[0, :n])
+
+    def __call__(self, variables, sample: Dict[str, np.ndarray]) -> np.ndarray:
+        """sample: dict with coord [n,3], feat [n,C], grid_coord [n,3]."""
+        coord = np.asarray(sample["coord"], np.float32)
+        feat = np.asarray(sample["feat"], np.float32)
+        grid_coord = np.asarray(sample["grid_coord"], np.int32)
+        n = coord.shape[0]
+        if n <= self.chunk_size:
+            return self._run_chunk(variables, coord, feat, grid_coord)
+        outs = []
+        for start in range(0, n, self.chunk_size):
+            sl = slice(start, min(start + self.chunk_size, n))
+            gc = grid_coord[sl]
+            gc = gc - gc.min(axis=0)  # chunks re-quantize independently
+            outs.append(self._run_chunk(variables, coord[sl], feat[sl], gc))
+        return np.concatenate(outs, axis=0)

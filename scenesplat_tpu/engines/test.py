@@ -1,0 +1,217 @@
+"""Testers: full-benchmark inference over fragmented test datasets.
+
+``ZeroShotSemSegTester`` (reference: pointcept/engines/test.py:116-666):
+per scene, accumulate sigmoid class probabilities over complementary voxel
+fragments into a full-scene buffer, threshold, inverse-map to the original
+points, kNN-vote onto the evaluation point cloud, and report mIoU / fg_mIoU.
+
+``SemSegTester`` (reference test.py:669-955) does the same with supervised
+logits.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from scenesplat_tpu.data import build_dataset
+from scenesplat_tpu.engines.eval import (
+    ZeroShotMetric,
+    load_class_names,
+    load_text_embeddings,
+)
+from scenesplat_tpu.engines.infer import FeatureExtractor
+from scenesplat_tpu.utils.logger import get_root_logger
+from scenesplat_tpu.utils.misc import clustering_voting, neighbor_voting
+from scenesplat_tpu.utils.registry import Registry
+
+TESTERS = Registry("testers")
+
+
+class TesterBase:
+    def __init__(self, model, variables, dataset_cfg, patch_size=1024, verbose=False):
+        self.model = model
+        self.variables = variables
+        self.dataset = build_dataset(dict(dataset_cfg))
+        self.extractor = FeatureExtractor(model, patch_size=patch_size)
+        self.logger = get_root_logger()
+        self.verbose = verbose
+
+
+@TESTERS.register_module()
+class ZeroShotSemSegTester(TesterBase):
+    def __init__(
+        self,
+        class_names,
+        text_embeddings,
+        excluded_classes=(),
+        enable_voting: bool = True,
+        vote_k: int = 25,
+        confidence_threshold: float = 0.1,
+        ignore_index: int = -1,
+        pred_label_mapping: Optional[dict] = None,
+        top3: bool = False,
+        save_feat: bool = False,
+        skip_eval: bool = False,
+        save_path: Optional[str] = None,
+        max_scenes: Optional[int] = None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.class_names = load_class_names(class_names)
+        self.text_emb = load_text_embeddings(text_embeddings)
+        assert self.text_emb.shape[0] == len(self.class_names)
+        self.excluded_classes = excluded_classes
+        self.enable_voting = enable_voting
+        self.vote_k = vote_k
+        self.confidence_threshold = confidence_threshold
+        self.ignore_index = ignore_index
+        self.pred_label_mapping = pred_label_mapping
+        self.save_feat = save_feat
+        self.skip_eval = skip_eval
+        self.save_path = save_path
+        self.max_scenes = max_scenes
+
+    def test(self):
+        metric = ZeroShotMetric(
+            self.class_names, self.excluded_classes, self.ignore_index
+        )
+        n_scenes = len(self.dataset)
+        if self.max_scenes:
+            n_scenes = min(n_scenes, self.max_scenes)
+        for i in range(n_scenes):
+            scene = self.dataset[i]
+            name = scene.get("name", f"scene{i}")
+            segment = np.asarray(scene["segment"]).reshape(-1)
+            n = segment.shape[0]
+            prob = np.zeros((n, len(self.class_names)), np.float32)
+            feat_sum = (
+                np.zeros((n, self.text_emb.shape[1]), np.float32)
+                if self.save_feat
+                else None
+            )
+            hits = np.zeros(n, np.int32)
+            for frag in scene["fragment_list"]:
+                feat = self.extractor(self.variables, frag)
+                logits = feat @ self.text_emb.T
+                p = 1.0 / (1.0 + np.exp(-logits))
+                idx = np.asarray(frag["index"]).reshape(-1)
+                prob[idx] += p
+                hits[idx] += 1
+                if feat_sum is not None:
+                    feat_sum[idx] += feat
+            if self.save_feat and self.save_path:
+                os.makedirs(self.save_path, exist_ok=True)
+                norm = np.maximum(hits[:, None], 1)
+                np.save(
+                    os.path.join(self.save_path, f"{name}_feat.npy"),
+                    feat_sum / norm,
+                )
+            pred = prob.argmax(axis=1).astype(np.int32)
+            conf = prob.max(axis=1) / np.maximum(hits, 1)
+            pred[conf < self.confidence_threshold] = self.ignore_index
+
+            # inverse-map to original resolution when available
+            valid = np.ones(n, bool)
+            coord = np.asarray(scene["coord"])
+            if "origin_segment" in scene and "inverse" in scene:
+                inverse = np.asarray(scene["inverse"]).reshape(-1)
+                pred = pred[inverse]
+                segment = np.asarray(scene["origin_segment"]).reshape(-1)
+                coord = np.asarray(scene["origin_coord"])
+                if "origin_feat_mask" in scene:
+                    valid = np.asarray(scene["origin_feat_mask"]).astype(bool)
+                else:
+                    valid = np.ones(len(pred), bool)
+
+            if self.pred_label_mapping:
+                for src, dst in self.pred_label_mapping.items():
+                    pred[pred == int(src)] = int(dst)
+
+            if self.enable_voting and "pc_coord" in scene:
+                vmask = valid & (pred != self.ignore_index)
+                pred_eval = neighbor_voting(
+                    coord, pred, self.vote_k, vmask, len(self.class_names),
+                    query_coord=np.asarray(scene["pc_coord"]),
+                    ignore_index=self.ignore_index,
+                )
+                target = np.asarray(scene["pc_segment"]).reshape(-1)
+            else:
+                pred_eval, target = pred, segment
+            if "origin_instance" in scene:
+                pred_eval = clustering_voting(
+                    pred_eval, np.asarray(scene["origin_instance"]), self.ignore_index
+                )
+            if not self.skip_eval and target is not None:
+                metric.update(pred_eval, target)
+                if self.verbose:
+                    self.logger.info(f"[{i + 1}/{n_scenes}] {name} done")
+        results = metric.results() if not self.skip_eval else {}
+        if results:
+            self.logger.info(
+                "test results: "
+                + "  ".join(f"{k}: {v:.4f}" for k, v in results.items()
+                            if not isinstance(v, np.ndarray))
+            )
+            for ci, cname in enumerate(self.class_names):
+                self.logger.info(
+                    f"  class {ci:3d} {cname}: iou {results['iou_per_class'][ci]:.4f}"
+                )
+        return results
+
+
+@TESTERS.register_module()
+class SemSegTester(TesterBase):
+    """Supervised fragment-voting tester (reference test.py:669-955)."""
+
+    def __init__(self, num_classes: int, ignore_index: int = -1,
+                 max_scenes: Optional[int] = None, **kwargs):
+        super().__init__(**kwargs)
+        self.num_classes = num_classes
+        self.ignore_index = ignore_index
+        self.max_scenes = max_scenes
+
+    def test(self):
+        from scenesplat_tpu.utils.misc import intersection_and_union
+
+        inter = union = target_area = 0
+        n_scenes = len(self.dataset)
+        if self.max_scenes:
+            n_scenes = min(n_scenes, self.max_scenes)
+        for i in range(n_scenes):
+            scene = self.dataset[i]
+            segment = np.asarray(scene["segment"]).reshape(-1)
+            n = segment.shape[0]
+            logits_sum = np.zeros((n, self.num_classes), np.float32)
+            for frag in scene["fragment_list"]:
+                logits = self.extractor(self.variables, frag)
+                idx = np.asarray(frag["index"]).reshape(-1)
+                logits_sum[idx] += logits
+            pred = logits_sum.argmax(axis=1).astype(np.int32)
+            if "origin_segment" in scene and "inverse" in scene:
+                pred = pred[np.asarray(scene["inverse"]).reshape(-1)]
+                segment = np.asarray(scene["origin_segment"]).reshape(-1)
+            i_, u_, t_ = intersection_and_union(
+                pred, segment, self.num_classes, self.ignore_index
+            )
+            inter = inter + i_
+            union = union + u_
+            target_area = target_area + t_
+        iou = inter / np.maximum(union, 1e-10)
+        seen = target_area > 0
+        miou = float(iou[seen].mean()) if seen.any() else 0.0
+        self.logger.info(f"test mIoU {miou:.4f}")
+        return {"mIoU": miou, "iou_per_class": iou}
+
+
+def build_tester(cfg, model, variables, dataset_cfg, patch_size=1024):
+    cfg = dict(cfg)
+    return TESTERS.build(
+        cfg,
+        model=model,
+        variables=variables,
+        dataset_cfg=dataset_cfg,
+        patch_size=patch_size,
+    )

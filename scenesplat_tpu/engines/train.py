@@ -94,7 +94,17 @@ class Trainer(TrainerBase):
             log_file=os.path.join(cfg.get("save_path", "exp/default"), "train.log")
         )
         self.max_epoch = cfg.get("epoch", 100)
-        self.mesh = create_mesh()
+        # mesh size must divide the global batch; use the largest such size
+        batch_size = cfg.get("batch_size", 1)
+        if not isinstance(batch_size, int) or batch_size < 1:
+            raise TypeError(
+                f"batch_size must be a positive int, got {batch_size!r} "
+                "(check --options overrides)"
+            )
+        n_dev = jax.device_count()
+        while batch_size % n_dev != 0:
+            n_dev -= 1
+        self.mesh = create_mesh(n_dev)
         self.logger.info(
             f"devices: {jax.device_count()} ({jax.default_backend()}), "
             f"mesh: {self.mesh.shape}"
@@ -141,11 +151,9 @@ class Trainer(TrainerBase):
         )
 
         step_fn = make_train_step(self.model, self.criteria, self.tx, task=self.task)
-        self._jit_step = jax.jit(
-            step_fn,
-            in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
-            donate_argnums=(0,),
-        )
+        # input shardings come from device_put placement in run_step (batch
+        # arrays sharded over 'data', scalars/state replicated)
+        self._jit_step = jax.jit(step_fn, donate_argnums=(0,))
         self.register_hooks(cfg.get("hooks"))
 
     # ---- data ----------------------------------------------------------
@@ -177,8 +185,9 @@ class Trainer(TrainerBase):
                 device_batch[k] = jax.device_put(v, sharding)
             else:
                 device_batch[k] = v
-        device_batch["epoch_progress"] = float(
-            (self.epoch + 1) / max(self.max_epoch, 1)
+        device_batch["epoch_progress"] = jax.device_put(
+            np.float32((self.epoch + 1) / max(self.max_epoch, 1)),
+            replicated(self.mesh),
         )
         self.state, metrics = self._jit_step(self.state, device_batch)
         self.storage.put_scalar("loss", float(metrics["loss"]))

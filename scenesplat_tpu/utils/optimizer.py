@@ -24,10 +24,13 @@ def build_scheduler(cfg: Dict[str, Any], total_steps: int, base_lr: float):
         max_lr = cfg.get("max_lr", base_lr)
         if isinstance(max_lr, (list, tuple)):
             max_lr = max_lr[0]
+        # guard degenerate schedules: warmup must span >= 1 step
+        total_steps = max(total_steps, 2)
+        pct_start = max(cfg.get("pct_start", 0.3), 1.0 / total_steps)
         return optax.cosine_onecycle_schedule(
             transition_steps=total_steps,
             peak_value=max_lr,
-            pct_start=cfg.get("pct_start", 0.3),
+            pct_start=pct_start,
             div_factor=cfg.get("div_factor", 25.0),
             final_div_factor=cfg.get("final_div_factor", 1e4),
         )
