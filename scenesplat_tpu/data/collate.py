@@ -139,3 +139,42 @@ def collate_padded(
                 arr = arr.astype(np.float32)
         batch[key] = arr
     return batch
+
+
+def collate_ssl(
+    samples: List[Dict[str, np.ndarray]],
+    global_points: int,
+    local_points: int,
+    local_crop_num: int = 3,
+) -> Dict[str, np.ndarray]:
+    """Collate multi-crop SSL samples (keys prefixed global_crop{0,1}_ /
+    local_crop{i}_) into fixed-shape per-crop buffers + per-crop masks."""
+    prefixes = [("global_crop0", global_points), ("global_crop1", global_points)]
+    prefixes += [(f"local_crop{i}", local_points) for i in range(local_crop_num)]
+    batch: Dict[str, np.ndarray] = {}
+    for prefix, target in prefixes:
+        subs = []
+        for s in samples:
+            sub = {
+                k[len(prefix) + 1 :]: v
+                for k, v in s.items()
+                if k.startswith(prefix + "_")
+            }
+            assert "coord" in sub, f"missing {prefix}_coord in sample"
+            subs.append(pad_sample(sub, target))
+        keys = set(subs[0])
+        for p in subs[1:]:
+            keys &= set(p)
+        for key in keys:
+            vals = [p[key] for p in subs]
+            if not isinstance(vals[0], np.ndarray):
+                continue
+            if vals[0].shape[:1] != (target,) and key != "mask":
+                continue
+            arr = np.stack(vals)
+            if key in INT_KEYS:
+                arr = arr.astype(np.int32)
+            elif arr.dtype != bool and np.issubdtype(arr.dtype, np.floating):
+                arr = arr.astype(np.float32)
+            batch[f"{prefix}_{key}"] = arr
+    return batch

@@ -33,6 +33,7 @@ class Loader:
         seed: int = 0,
         num_workers: int = 4,
         drop_last: bool = True,
+        collate_fn=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -42,6 +43,7 @@ class Loader:
         self.seed = seed
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
+        self.collate_fn = collate_fn
         self.epoch = 0
         # Mix3D consumes two source samples per batch slot (see collate)
         self.samples_per_batch = batch_size * (2 if mix_prob > 0 else 1)
@@ -81,9 +83,12 @@ class Loader:
                 if bi + ahead < nb:
                     submit(bi + ahead)
                 samples = [f.result() for f in futures]
-                yield collate_padded(
-                    samples, self.num_points, mix_prob=self.mix_prob
-                )
+                if self.collate_fn is not None:
+                    yield self.collate_fn(samples)
+                else:
+                    yield collate_padded(
+                        samples, self.num_points, mix_prob=self.mix_prob
+                    )
 
 
 class MultiDatasetLoader:

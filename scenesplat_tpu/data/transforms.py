@@ -604,13 +604,25 @@ class SphereCrop:
 
 @TRANSFORMS.register_module()
 class SphereCropRandomMaxPoints:
-    def __init__(self, max_points=(80000, 120000), mode="random"):
+    """SphereCrop with a randomized budget: either an absolute range
+    ``max_points=(lo, hi)`` or a relative ``random_scale=(lo, hi)`` fraction
+    of ``point_max`` (reference SSL config usage, transform.py:198)."""
+
+    def __init__(self, max_points=None, random_scale=None, point_max=None,
+                 mode="random"):
         self.max_points = max_points
+        self.random_scale = random_scale
+        self.point_max = point_max
         self.mode = mode
 
     def __call__(self, data_dict):
-        point_max = np.random.randint(self.max_points[0], self.max_points[1] + 1)
-        return SphereCrop(point_max=point_max, mode=self.mode)(data_dict)
+        if self.random_scale is not None:
+            scale = np.random.uniform(*self.random_scale)
+            budget = int(scale * (self.point_max or data_dict["coord"].shape[0]))
+        else:
+            lo, hi = self.max_points or (80000, 120000)
+            budget = int(np.random.randint(lo, hi + 1))
+        return SphereCrop(point_max=max(budget, 1), mode=self.mode)(data_dict)
 
 
 def fnv_hash_vec(arr: np.ndarray) -> np.ndarray:
@@ -690,6 +702,31 @@ class GridSample:
             self._sample_pc(data_dict)
 
         if self.mode == "train":
+            if self.importance_sample_key is None and "sampled_index" not in data_dict:
+                # fast path: single-pass C++ voxel reservoir sampling
+                from scenesplat_tpu import native
+
+                if native.available():
+                    idx_unique, cell = native.grid_sample_train(
+                        grid_coord, seed=np.random.randint(0, 2**31 - 1)
+                    )
+                    if self.return_inverse:
+                        data_dict["inverse"] = cell
+                    if self.return_grid_coord:
+                        data_dict["grid_coord"] = grid_coord[idx_unique]
+                    if self.return_min_coord:
+                        data_dict["min_coord"] = min_coord.reshape([1, 3])
+                    if self.return_displacement:
+                        disp = scaled_coord - grid_coord - 0.5
+                        if self.project_displacement:
+                            disp = np.sum(
+                                disp * data_dict["normal"], axis=-1, keepdims=True
+                            )
+                        data_dict["displacement"] = disp[idx_unique]
+                    for k in self.keys:
+                        if k in data_dict:
+                            data_dict[k] = data_dict[k][idx_unique]
+                    return data_dict
             if self.importance_sample_key is None:
                 idx_select = (
                     np.cumsum(np.insert(count, 0, 0)[0:-1])
@@ -785,3 +822,81 @@ class GridSample:
         grid_splits = np.cumsum(count[:-1])
         grids = np.split(idx_sort, grid_splits)
         return [g[importance[g].argmax()] for g in grids]
+
+
+@TRANSFORMS.register_module()
+class ContrastiveViewsGenerator_SSL:
+    """Multi-crop view generation for SimDINO pretraining
+    (reference transform.py:260-315): a shared global base transform feeds
+    two differently-augmented global crops; a local base transform feeds
+    ``local_crop_num`` local crops. Outputs are key-prefixed."""
+
+    def __init__(
+        self,
+        view_keys=("coord", "color", "normal", "origin_coord"),
+        global_base_transform=None,
+        local_base_transform=None,
+        global_transform0=None,
+        global_transform1=None,
+        local_transform=None,
+        local_crop_num=4,
+    ):
+        self.view_keys = view_keys
+        self.global_base_transform = Compose(global_base_transform)
+        self.local_base_transform = Compose(local_base_transform)
+        self.global_transform0 = Compose(global_transform0)
+        self.global_transform1 = Compose(global_transform1)
+        self.local_transform = Compose(local_transform)
+        self.local_crop_num = local_crop_num
+
+    def __call__(self, data_dict):
+        def clone(src):
+            return {k: np.copy(src[k]) for k in self.view_keys if k in src}
+
+        global_base = self.global_base_transform(clone(data_dict))
+        g0 = self.global_transform0(clone(global_base))
+        g1 = self.global_transform1(clone(global_base))
+        local_base = self.local_base_transform(clone(data_dict))
+        locals_ = [
+            self.local_transform(clone(local_base))
+            for _ in range(self.local_crop_num)
+        ]
+        for key, value in g0.items():
+            data_dict["global_crop0_" + key] = value
+        for key, value in g1.items():
+            data_dict["global_crop1_" + key] = value
+        for i, lc in enumerate(locals_):
+            for key, value in lc.items():
+                data_dict[f"local_crop{i}_" + key] = value
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class CollectContrast:
+    """Collect keys by prefix + concat feat_keys per crop
+    (reference transform.py:21-56)."""
+
+    def __init__(self, keys_prefix, **kwargs):
+        self.keys_prefix = (
+            [keys_prefix] if isinstance(keys_prefix, str) else list(keys_prefix)
+        )
+        self.kwargs = kwargs
+
+    def __call__(self, data_dict):
+        data = {}
+        for prefix in self.keys_prefix:
+            for key in data_dict:
+                if key.startswith(prefix):
+                    data[key] = data_dict[key]
+        for name, keys in self.kwargs.items():
+            name = name.replace("_keys", "")
+            data[name] = np.concatenate(
+                [
+                    np.asarray(data_dict[key], np.float32).reshape(
+                        len(data_dict[key]), -1
+                    )
+                    for key in keys
+                ],
+                axis=1,
+            )
+        return data

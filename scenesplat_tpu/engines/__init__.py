@@ -6,3 +6,4 @@ from . import eval  # noqa: F401
 from .hooks import misc as _hooks_misc  # noqa: F401
 from .hooks import evaluator as _hooks_eval  # noqa: F401
 from .test import TESTERS, build_tester
+from . import pretrain as _pretrain  # noqa: F401 (registers SSL trainer)

@@ -113,11 +113,11 @@ class Trainer(TrainerBase):
         model_cfg = dict(cfg.model)
         criteria_cfg = model_cfg.pop("criteria", None)
         self.task = cfg.get("task", self.TASKS.get(model_cfg.get("type"), "lang"))
-        self.model = build_model(model_cfg)
+        self.model = self._build_model(model_cfg)
         self.criteria = build_criteria(criteria_cfg)
 
         self.train_loader = self.build_train_loader()
-        total_steps = len(self.train_loader) * self.max_epoch
+        self.total_steps = len(self.train_loader) * self.max_epoch
         self.logger.info(
             f"train loader: {len(self.train_loader)} steps/epoch x "
             f"{self.max_epoch} epochs"
@@ -127,34 +127,43 @@ class Trainer(TrainerBase):
         example_batch = next(iter(self.train_loader))
         tx0 = build_optimizer(
             dict(cfg.optimizer), None, dict(cfg.get("scheduler") or {}) or None,
-            total_steps, clip_grad=cfg.get("clip_grad"),
+            self.total_steps, clip_grad=cfg.get("clip_grad"),
         )
-        self.state = create_train_state(
-            self.model, tx0, point_from_batch(_to_jnp(example_batch)),
-            seed=cfg.get("seed", 0),
-        )
+        self.state = self._init_state(example_batch, tx0)
         self.tx = build_optimizer(
             dict(cfg.optimizer),
             self.state.params,
             dict(cfg.get("scheduler") or {}) or None,
-            total_steps,
+            self.total_steps,
             param_dicts=[dict(p) for p in cfg.get("param_dicts") or []],
             clip_grad=cfg.get("clip_grad"),
         )
         self.state = self.state.replace(opt_state=self.tx.init(self.state.params))
         self.lr_schedule = (
             build_scheduler(
-                dict(cfg.scheduler), total_steps, cfg.optimizer.get("lr", 1e-3)
+                dict(cfg.scheduler), self.total_steps, cfg.optimizer.get("lr", 1e-3)
             )
             if cfg.get("scheduler")
             else None
         )
 
-        step_fn = make_train_step(self.model, self.criteria, self.tx, task=self.task)
         # input shardings come from device_put placement in run_step (batch
         # arrays sharded over 'data', scalars/state replicated)
-        self._jit_step = jax.jit(step_fn, donate_argnums=(0,))
+        self._jit_step = jax.jit(self._make_step(), donate_argnums=(0,))
         self.register_hooks(cfg.get("hooks"))
+
+    # ---- override points (SSL pretrainer swaps these) -------------------
+    def _build_model(self, model_cfg):
+        return build_model(model_cfg)
+
+    def _init_state(self, example_batch, tx0):
+        return create_train_state(
+            self.model, tx0, point_from_batch(_to_jnp(example_batch)),
+            seed=self.cfg.get("seed", 0),
+        )
+
+    def _make_step(self):
+        return make_train_step(self.model, self.criteria, self.tx, task=self.task)
 
     # ---- data ----------------------------------------------------------
     def build_train_loader(self):

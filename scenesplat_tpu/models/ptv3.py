@@ -331,6 +331,10 @@ class PointTransformerV3(nn.Module):
     # counts after each stride-2 pooling; surfaces shrink ~4x per level)
     stage_capacity: Optional[Tuple[float, ...]] = None
     use_pallas: Optional[bool] = None
+    # SSL support (reference point_transformer_v3m1_ssl.py:585-591,724-751):
+    # a learnable token replaces embedded features at masked points, and the
+    # encoder output (coarsest stage) can be returned alongside the decoder
+    enable_mask_token: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -338,7 +342,13 @@ class PointTransformerV3(nn.Module):
         return len(self.enc_depths)
 
     @nn.compact
-    def __call__(self, point: PointBatch, train: bool = False) -> PointBatch:
+    def __call__(
+        self,
+        point: PointBatch,
+        train: bool = False,
+        token_mask: Optional[jnp.ndarray] = None,
+        return_enc: bool = False,
+    ):
         deterministic = not train
         num_stages = self.num_stages
         orders = self.order if not isinstance(self.order, str) else (self.order,)
@@ -387,6 +397,13 @@ class PointTransformerV3(nn.Module):
             self.in_channels, self.enc_channels[0], dtype=self.dtype,
             name="embedding",
         )(feat, stem_plan, state.mask, deterministic)
+        if self.enable_mask_token:
+            mask_token = self.param(
+                "mask_token", nn.initializers.truncated_normal(0.02),
+                (self.enc_channels[0],), jnp.float32,
+            ).astype(feat.dtype)
+            if token_mask is not None:
+                feat = jnp.where(token_mask[..., None], mask_token, feat)
 
         import numpy as _np
 
@@ -438,6 +455,8 @@ class PointTransformerV3(nn.Module):
                     name=f"enc{s}_block{i}",
                 )(feat, state, deterministic)
 
+        enc_feat, enc_mask = feat, state.mask  # coarsest-stage encoder output
+
         if not self.cls_mode:
             dec_dp = [
                 float(x) for x in
@@ -477,10 +496,13 @@ class PointTransformerV3(nn.Module):
                         name=f"dec{s}_block{i}",
                     )(feat, state, deterministic)
 
-        return point.replace(
+        out = point.replace(
             feat=feat,
             coord=state.coord,
             grid_coord=state.grid_coord,
             mask=state.mask,
             ser=state.ser,
         )
+        if return_enc:
+            return out, enc_feat, enc_mask
+        return out

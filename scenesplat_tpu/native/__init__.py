@@ -1,0 +1,148 @@
+"""Native host-ops bindings (ctypes) with numpy fallbacks.
+
+Builds host_ops.cpp on first import (g++ -O3 -shared); every function
+gracefully falls back to the numpy/scipy implementation when the toolchain or
+the shared object is unavailable, so the framework works everywhere and is
+fast where it can be.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libhost_ops.so")
+_LIB = None
+
+
+def _build():
+    src = os.path.join(_HERE, "host_ops.cpp")
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        src, "-o", _SO,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    try:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+            os.path.join(_HERE, "host_ops.cpp")
+        ):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.fnv_hash_rows.restype = None
+        lib.grid_sample_train.restype = ctypes.c_int64
+        lib.knn_grid.restype = None
+        lib.majority_vote.restype = None
+        _LIB = lib
+    except Exception:
+        _LIB = False
+    return _LIB
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def _ptr(a, t):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+def fnv_hash_rows(arr: np.ndarray) -> np.ndarray:
+    lib = _load()
+    arr64 = np.ascontiguousarray(arr, dtype=np.int64)
+    if not lib:
+        from scenesplat_tpu.data.transforms import fnv_hash_vec
+
+        return fnv_hash_vec(arr64)
+    out = np.empty(arr64.shape[0], np.uint64)
+    lib.fnv_hash_rows(
+        _ptr(arr64, ctypes.c_int64),
+        ctypes.c_int64(arr64.shape[0]),
+        ctypes.c_int64(arr64.shape[1]),
+        _ptr(out, ctypes.c_uint64),
+    )
+    return out
+
+
+def grid_sample_train(grid_coord: np.ndarray, seed: int = 0):
+    """Returns (idx_unique, cell_of_point): one random point per voxel."""
+    lib = _load()
+    gc = np.ascontiguousarray(grid_coord, dtype=np.int32)
+    n = gc.shape[0]
+    if not lib:
+        from scenesplat_tpu.data.transforms import fnv_hash_vec
+
+        key = fnv_hash_vec(gc.astype(np.int64))
+        order = np.argsort(key)
+        _, inverse, counts = np.unique(
+            key[order], return_inverse=True, return_counts=True
+        )
+        starts = np.cumsum(np.insert(counts, 0, 0))[:-1]
+        rng = np.random.default_rng(seed)
+        pick = starts + rng.integers(0, counts.max(), counts.size) % counts
+        cell = np.zeros(n, np.int64)
+        cell[order] = inverse
+        return order[pick], cell
+    idx = np.empty(n, np.int64)
+    cell = np.empty(n, np.int64)
+    m = lib.grid_sample_train(
+        _ptr(gc, ctypes.c_int32), ctypes.c_int64(n),
+        ctypes.c_uint64(seed),
+        _ptr(idx, ctypes.c_int64), _ptr(cell, ctypes.c_int64),
+    )
+    return idx[:m].copy(), cell
+
+
+def knn(data: np.ndarray, query: np.ndarray, k: int, cell: float | None = None):
+    """k nearest data indices per query, [m, k] int32."""
+    lib = _load()
+    data = np.ascontiguousarray(data, np.float32)
+    query = np.ascontiguousarray(query, np.float32)
+    k_eff = min(k, data.shape[0])
+    if not lib:
+        from scipy.spatial import cKDTree
+
+        _, idx = cKDTree(data).query(query, k=k_eff, workers=-1)
+        idx = np.atleast_2d(idx)
+        if idx.ndim == 1:
+            idx = idx[:, None]
+        return idx.astype(np.int32)
+    if cell is None:
+        # aim for ~2k points per cell neighborhood
+        span = np.ptp(data, axis=0).max() + 1e-6
+        density = data.shape[0] / max(span**3, 1e-9)
+        cell = float(max((max(k_eff, 8) / max(density, 1e-9)) ** (1 / 3), 1e-3))
+    out = np.empty((query.shape[0], k_eff), np.int32)
+    lib.knn_grid(
+        _ptr(data, ctypes.c_float), ctypes.c_int64(data.shape[0]),
+        _ptr(query, ctypes.c_float), ctypes.c_int64(query.shape[0]),
+        ctypes.c_int64(k_eff), ctypes.c_float(cell),
+        _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def majority_vote(labels: np.ndarray, num_classes: int, ignore_index: int = -1):
+    lib = _load()
+    labels = np.ascontiguousarray(labels, np.int32)
+    if not lib:
+        from scenesplat_tpu.utils.misc import _majority_vote
+
+        return _majority_vote(labels, num_classes, ignore_index)
+    out = np.empty(labels.shape[0], np.int32)
+    lib.majority_vote(
+        _ptr(labels, ctypes.c_int32),
+        ctypes.c_int64(labels.shape[0]), ctypes.c_int64(labels.shape[1]),
+        ctypes.c_int32(num_classes), ctypes.c_int32(ignore_index),
+        _ptr(out, ctypes.c_int32),
+    )
+    return out

@@ -1,0 +1,166 @@
+// Native host-side data-path kernels for scenesplat_tpu.
+//
+// TPU-native counterpart of the reference's CUDA/numba host helpers: the TPU
+// does the model math; the host hot path (voxel hashing, grid sampling, kNN
+// label voting) runs here in C++ (reference equivalents:
+// pointcept/datasets/transform.py:1402-1416 fnv hash, :1182-1330 GridSample,
+// pointcept/utils/misc.py:17-95 numba majority vote + cKDTree voting).
+//
+// Exposed with extern "C" and loaded via ctypes (no pybind11 in this image).
+// Every entry point has a numpy fallback in scenesplat_tpu/native/__init__.py.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <unordered_map>
+#include <algorithm>
+#include <cmath>
+#include <random>
+
+extern "C" {
+
+// FNV64-1A over rows of an int64 [n, d] array (matches numpy reference).
+void fnv_hash_rows(const int64_t* arr, int64_t n, int64_t d, uint64_t* out) {
+    const uint64_t prime = 1099511628211ULL;
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t h = 14695981039346656037ULL;
+        const int64_t* row = arr + i * d;
+        for (int64_t j = 0; j < d; ++j) {
+            h *= prime;
+            h ^= (uint64_t)row[j];
+        }
+        out[i] = h;
+    }
+}
+
+// Train-mode grid sampling: one uniformly-random point per occupied voxel
+// (reservoir sampling, single O(n) pass; reference transform.py:1262-1297
+// does argsort + unique + random pick). Returns the number of selected
+// points; selected indices in out_idx (capacity n), per-point cell id in
+// out_cell (for inverse mapping).
+int64_t grid_sample_train(
+    const int32_t* grid_coord,  // [n, 3], non-negative
+    int64_t n,
+    uint64_t seed,
+    int64_t* out_idx,   // [<=n] selected original indices
+    int64_t* out_cell   // [n] cell id per point (0..m-1)
+) {
+    struct Slot { int64_t pick; int64_t count; int64_t cell; };
+    std::unordered_map<uint64_t, Slot> cells;
+    cells.reserve((size_t)n * 2);
+    std::mt19937_64 rng(seed);
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t* g = grid_coord + i * 3;
+        // exact 21-bit packed voxel key (injective; no hash collisions)
+        uint64_t h = ((uint64_t)(uint32_t)g[0] << 42)
+                   | ((uint64_t)(uint32_t)g[1] << 21)
+                   | (uint64_t)(uint32_t)g[2];
+        auto it = cells.find(h);
+        if (it == cells.end()) {
+            cells.emplace(h, Slot{i, 1, m});
+            out_cell[i] = m;
+            ++m;
+        } else {
+            Slot& s = it->second;
+            s.count += 1;
+            // reservoir: replace pick with prob 1/count
+            if ((int64_t)(rng() % (uint64_t)s.count) == 0) s.pick = i;
+            out_cell[i] = s.cell;
+        }
+    }
+    std::vector<int64_t> picks((size_t)m);
+    for (auto& kv : cells) picks[(size_t)kv.second.cell] = kv.second.pick;
+    std::memcpy(out_idx, picks.data(), (size_t)m * sizeof(int64_t));
+    return m;
+}
+
+// Brute-force-free kNN via spatial hash grid: for each query, search the
+// 27-neighborhood of its cell, expanding rings until k found (data assumed
+// roughly uniform at ``cell`` resolution). Returns indices [m, k].
+void knn_grid(
+    const float* data, int64_t n,
+    const float* query, int64_t m,
+    int64_t k, float cell,
+    int32_t* out_idx  // [m, k]
+) {
+    // exact 21-bit packing per axis: injective for |cell coord| < 2^20
+    // (FNV on small lattice coords collides heavily and duplicates results)
+    auto pack = [](int64_t gx, int64_t gy, int64_t gz) -> uint64_t {
+        const int64_t off = 1LL << 20;
+        return ((uint64_t)(gx + off) << 42) | ((uint64_t)(gy + off) << 21)
+               | (uint64_t)(gz + off);
+    };
+    auto key = [cell, pack](float x, float y, float z) -> uint64_t {
+        return pack(
+            (int64_t)std::floor(x / cell),
+            (int64_t)std::floor(y / cell),
+            (int64_t)std::floor(z / cell));
+    };
+    std::unordered_map<uint64_t, std::vector<int32_t>> grid;
+    grid.reserve((size_t)n * 2);
+    for (int64_t i = 0; i < n; ++i)
+        grid[key(data[i * 3], data[i * 3 + 1], data[i * 3 + 2])].push_back((int32_t)i);
+
+    std::vector<std::pair<float, int32_t>> cand;
+    for (int64_t q = 0; q < m; ++q) {
+        const float* p = query + q * 3;
+        int64_t cx = (int64_t)std::floor(p[0] / cell);
+        int64_t cy = (int64_t)std::floor(p[1] / cell);
+        int64_t cz = (int64_t)std::floor(p[2] / cell);
+        cand.clear();
+        for (int64_t ring = 1; ring <= 64; ++ring) {
+            cand.clear();
+            for (int64_t dx = -ring; dx <= ring; ++dx)
+                for (int64_t dy = -ring; dy <= ring; ++dy)
+                    for (int64_t dz = -ring; dz <= ring; ++dz) {
+                        uint64_t h = pack(cx + dx, cy + dy, cz + dz);
+                        auto it = grid.find(h);
+                        if (it == grid.end()) continue;
+                        for (int32_t idx : it->second) {
+                            float ddx = data[idx * 3] - p[0];
+                            float ddy = data[idx * 3 + 1] - p[1];
+                            float ddz = data[idx * 3 + 2] - p[2];
+                            cand.emplace_back(ddx * ddx + ddy * ddy + ddz * ddz, idx);
+                        }
+                    }
+            // enough candidates AND the guaranteed-covered radius (the query
+            // may sit at a cell corner, so only (ring-1) cells are certain)
+            // encloses the k-th distance
+            if ((int64_t)cand.size() >= k) {
+                std::nth_element(cand.begin(), cand.begin() + (k - 1), cand.end());
+                float kth = cand[(size_t)(k - 1)].first;
+                float safe = (float)(ring - 1) * cell;
+                if (kth <= safe * safe || ring == 64) break;
+            }
+        }
+        int64_t kk = std::min<int64_t>(k, (int64_t)cand.size());
+        std::partial_sort(cand.begin(), cand.begin() + kk, cand.end());
+        for (int64_t j = 0; j < k; ++j)
+            out_idx[q * k + j] = (int32_t)(j < kk ? cand[(size_t)j].second
+                                                  : (kk > 0 ? cand[0].second : 0));
+    }
+}
+
+// Per-row majority vote over k neighbor labels; ignore_index never wins
+// unless all votes are ignored (reference utils/misc.py:17-51).
+void majority_vote(
+    const int32_t* labels, int64_t m, int64_t k,
+    int32_t num_classes, int32_t ignore_index,
+    int32_t* out  // [m]
+) {
+    std::vector<int32_t> counts((size_t)num_classes);
+    for (int64_t i = 0; i < m; ++i) {
+        std::fill(counts.begin(), counts.end(), 0);
+        int32_t best = ignore_index, best_count = 0;
+        for (int64_t j = 0; j < k; ++j) {
+            int32_t lab = labels[i * k + j];
+            if (lab == ignore_index || lab < 0 || lab >= num_classes) continue;
+            int32_t c = ++counts[(size_t)lab];
+            if (c > best_count) { best_count = c; best = lab; }
+        }
+        out[i] = best;
+    }
+}
+
+}  // extern "C"

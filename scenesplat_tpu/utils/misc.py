@@ -77,8 +77,6 @@ def neighbor_voting(
     pointcept/utils/misc.py:54-95, cKDTree + numba majority vote). Queries
     default to all points; only points with ``valid_mask`` contribute votes.
     """
-    from scipy.spatial import cKDTree
-
     valid_coord = coord[valid_mask]
     valid_pred = pred[valid_mask]
     if valid_coord.shape[0] == 0:
@@ -87,6 +85,18 @@ def neighbor_voting(
     if query_coord is None:
         query_coord = coord
     k = min(vote_k, valid_coord.shape[0])
+
+    from scenesplat_tpu import native
+
+    if native.available():
+        nn_idx = native.knn(valid_coord, query_coord, k)
+        labels = valid_pred[nn_idx].astype(np.int32)
+        return native.majority_vote(labels, num_classes, ignore_index).astype(
+            pred.dtype
+        )
+
+    from scipy.spatial import cKDTree
+
     tree = cKDTree(valid_coord)
     _, nn_idx = tree.query(query_coord, k=k, workers=-1)
     nn_idx = np.atleast_2d(nn_idx)
