@@ -1,0 +1,213 @@
+"""PyTorch -> JAX checkpoint bridge for reference SceneSplat weights.
+
+Maps the reference LangPretrainer / PT-v3m1 torch state dict
+(pointcept/models/default.py:77, point_transformer_v3m1_base.py:518) onto this
+framework's flax parameter tree, so released checkpoints (e.g. HF
+GaussianWorld/SceneSplat_lang-pretrain-...-contrastive, README.md:178) can be
+evaluated here.
+
+Key-layout correspondence (torch -> flax):
+  backbone.embedding.stem.conv.weight        -> backbone_module/embedding/conv/kernel
+  backbone.embedding.stem.norm.{...}         -> embedding/norm (BN: scale/bias + batch_stats)
+  backbone.enc.enc{S}.block{I}.cpe.0.weight  -> enc{S}_block{I}/cpe_conv/kernel
+  ...cpe.1.{weight,bias}                     -> cpe_linear (Dense, weight transposed)
+  ...cpe.2.{weight,bias}                     -> cpe_norm (LayerNorm)
+  ...norm1.0 / norm2.0                       -> norm1 / norm2
+  ...attn.qkv / attn.proj                    -> attn/qkv, attn/proj
+  ...mlp.0.fc1 / fc2                         -> mlp/fc1, fc2
+  backbone.enc.enc{S}.down.proj/norm.0       -> enc{S}_down/proj, norm
+  backbone.dec.dec{S}.up.proj.{0,1}          -> dec{S}_up/proj, proj_norm
+  backbone.dec.dec{S}.up.proj_skip.{0,1}     -> dec{S}_up/proj_skip, proj_skip_norm
+
+spconv.SubMConv3d kernels are stored either as [k,k,k,in,out] or
+[out,k,k,k,in] depending on the spconv algo; both are detected by shape and
+re-laid-out to this framework's [k^3, in, out] with kernel offsets enumerated
+in itertools.product order (x-major), matching spconv's kernel-position
+enumeration.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("state_dict", ckpt.get("model", ckpt))
+    out = {}
+    for k, v in state.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def _conv_kernel(w: np.ndarray, in_ch: int, out_ch: int) -> np.ndarray:
+    """Normalize a spconv kernel to [k^3, in, out]."""
+    if w.ndim == 5:
+        if w.shape[-1] == out_ch and w.shape[-2] == in_ch:
+            # [k,k,k,in,out]
+            k3 = w.shape[0] * w.shape[1] * w.shape[2]
+            return w.reshape(k3, in_ch, out_ch)
+        if w.shape[0] == out_ch and w.shape[-1] == in_ch:
+            # [out,k,k,k,in] -> [k,k,k,in,out]
+            w = np.moveaxis(w, 0, -1)
+            k3 = w.shape[0] * w.shape[1] * w.shape[2]
+            return w.reshape(k3, in_ch, out_ch)
+    if w.ndim == 3 and w.shape == (w.shape[0], in_ch, out_ch):
+        return w
+    raise ValueError(f"unrecognized spconv kernel shape {w.shape}")
+
+
+def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_ptv3_lang_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    backbone_prefix: str = "backbone.",
+    flax_backbone_key: str = "backbone_module",
+):
+    """Fill flax params/batch_stats trees from a torch state dict.
+
+    Returns (params, batch_stats, report) where report lists unmatched torch
+    keys and unfilled flax leaves (shape-validated partial load like the
+    reference CheckpointLoader, hooks/misc.py:207-300).
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, params_template)
+    batch_stats = jax.tree_util.tree_map(np.asarray, batch_stats_template)
+    params = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    batch_stats = jax.tree_util.tree_map(lambda x: x.copy(), batch_stats)
+    used = set()
+    filled = set()
+
+    bb_params = params.get(flax_backbone_key, params)
+    bb_stats = batch_stats.get(flax_backbone_key, batch_stats)
+
+    def torch_get(key):
+        full = backbone_prefix + key
+        if full in torch_state:
+            used.add(full)
+            return torch_state[full]
+        return None
+
+    def put_dense(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        _assign(bb_params, fpath + ("kernel",), w.T, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(bb_params, fpath + ("bias",), b, filled)
+
+    def put_ln(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        _assign(bb_params, fpath + ("scale",), w, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(bb_params, fpath + ("bias",), b, filled)
+
+    def put_bn(tkey, fpath):
+        put_ln(tkey, fpath)
+        rm = torch_get(tkey + ".running_mean")
+        rv = torch_get(tkey + ".running_var")
+        if rm is not None:
+            _assign(bb_stats, fpath + ("mean",), rm, filled)
+        if rv is not None:
+            _assign(bb_stats, fpath + ("var",), rv, filled)
+
+    def put_conv(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        tmpl = _lookup(bb_params, fpath + ("kernel",))
+        if tmpl is None:
+            return
+        k3, cin, cout = tmpl.shape
+        _assign(bb_params, fpath + ("kernel",), _conv_kernel(w, cin, cout), filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(bb_params, fpath + ("bias",), b, filled)
+
+    # embedding stem
+    put_conv("embedding.stem.conv", ("embedding", "conv"))
+    put_bn("embedding.stem.norm", ("embedding", "norm"))
+
+    # stages: discover from flax template names (enc{S}_block{I} etc.)
+    for name in list(bb_params.keys()):
+        m = re.fullmatch(r"(enc|dec)(\d+)_block(\d+)", name)
+        if m:
+            side, s, i = m.group(1), m.group(2), m.group(3)
+            t = f"{side}.{side}{s}.block{i}"
+            put_conv(f"{t}.cpe.0", (name, "cpe_conv"))
+            put_dense(f"{t}.cpe.1", (name, "cpe_linear"))
+            put_ln(f"{t}.cpe.2", (name, "cpe_norm"))
+            put_ln(f"{t}.norm1.0", (name, "norm1"))
+            put_ln(f"{t}.norm2.0", (name, "norm2"))
+            put_dense(f"{t}.attn.qkv", (name, "attn", "qkv"))
+            put_dense(f"{t}.attn.proj", (name, "attn", "proj"))
+            put_dense(f"{t}.mlp.0.fc1", (name, "mlp", "fc1"))
+            put_dense(f"{t}.mlp.0.fc2", (name, "mlp", "fc2"))
+            continue
+        m = re.fullmatch(r"enc(\d+)_down", name)
+        if m:
+            s = m.group(1)
+            put_dense(f"enc.enc{s}.down.proj", (name, "proj"))
+            put_bn(f"enc.enc{s}.down.norm.0", (name, "norm"))
+            continue
+        m = re.fullmatch(r"dec(\d+)_up", name)
+        if m:
+            s = m.group(1)
+            put_dense(f"dec.dec{s}.up.proj.0", (name, "proj"))
+            put_bn(f"dec.dec{s}.up.proj.1", (name, "proj_norm"))
+            put_dense(f"dec.dec{s}.up.proj_skip.0", (name, "proj_skip"))
+            put_bn(f"dec.dec{s}.up.proj_skip.1", (name, "proj_skip_norm"))
+            continue
+
+    report = {
+        "unused_torch_keys": sorted(
+            k for k in torch_state if k not in used
+        ),
+        "filled_leaves": len(filled),
+    }
+    return params, batch_stats, report
+
+
+def _lookup(tree, path):
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def _assign(tree, path, value, filled):
+    node = tree
+    for p in path[:-1]:
+        if p not in node:
+            return
+        node = node[p]
+    leaf = node.get(path[-1])
+    if leaf is None:
+        return
+    value = np.asarray(value, dtype=leaf.dtype)
+    if leaf.shape != value.shape:
+        # shape-mismatch skipping, like the reference CheckpointLoader
+        return
+    node[path[-1]] = value
+    filled.add("/".join(path))
