@@ -251,3 +251,80 @@ class PreciseEvaluator(HookBase):
                 tc, self.trainer.model, variables, dc, patch_size=patch
             )
             tester.test()
+
+
+@HOOKS.register_module()
+class RuntimeProfiler(HookBase):
+    """Capture a jax profiler trace of a few training steps (reference
+    RuntimeProfiler/V2, hooks/misc.py:442-591 wrap torch.profiler). The trace
+    is viewable in TensorBoard / Perfetto."""
+
+    def __init__(self, start_step: int = 3, num_steps: int = 2, exit_after: bool = False):
+        self.start_step = start_step
+        self.num_steps = num_steps
+        self.exit_after = exit_after
+        self._active = False
+
+    def before_step(self):
+        import jax
+
+        step = self.trainer.storage.iter
+        if step == self.start_step:
+            path = os.path.join(
+                self.trainer.cfg.get("save_path", "exp/default"), "profile"
+            )
+            os.makedirs(path, exist_ok=True)
+            jax.profiler.start_trace(path)
+            self._active = True
+            self.trainer.logger.info(f"profiler trace started -> {path}")
+
+    def after_step(self):
+        import jax
+
+        step = self.trainer.storage.iter
+        if self._active and step >= self.start_step + self.num_steps - 1:
+            jax.profiler.stop_trace()
+            self._active = False
+            self.trainer.logger.info("profiler trace stopped")
+            if self.exit_after:
+                raise SystemExit(0)
+
+
+@HOOKS.register_module()
+class BeginningEvaluator(HookBase):
+    """Run evaluator hooks once before training starts (reference
+    hooks/misc.py:355-404), e.g. to score a loaded checkpoint."""
+
+    def before_train(self):
+        for h in self.trainer.hooks:
+            if h is not self and hasattr(h, "after_epoch") and "Eval" in type(h).__name__:
+                self.trainer.epoch = -1
+                h.after_epoch()
+                self.trainer.epoch = self.trainer.start_epoch
+
+
+@HOOKS.register_module()
+class DataCacheOperator(HookBase):
+    """Prewarm the OS page cache for the training split (reference
+    hooks/misc.py:407-439 copies scenes into /dev/shm; page-cache warming is
+    the portable equivalent)."""
+
+    def __init__(self, data_root=None, split=None):
+        self.data_root = data_root
+        self.split = split
+
+    def before_train(self):
+        import glob
+
+        root = self.data_root or self.trainer.cfg.data.train.get("data_root")
+        splits = self.split or self.trainer.cfg.data.train.get("split", "train")
+        if isinstance(splits, str):
+            splits = [splits]
+        n = 0
+        for split in splits:
+            for path in glob.glob(os.path.join(root, split, "*", "*.npy")):
+                with open(path, "rb") as f:
+                    while f.read(1 << 22):
+                        pass
+                n += 1
+        self.trainer.logger.info(f"page-cache warmed for {n} asset files")

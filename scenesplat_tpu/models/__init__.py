@@ -5,4 +5,5 @@ from . import default  # noqa: F401 (registers task heads)
 from .losses.builder import LOSSES, build_criteria
 from .losses import misc as _losses_misc  # noqa: F401
 from .losses import contrastive as _losses_contrastive  # noqa: F401
+from .losses import lovasz as _losses_lovasz  # noqa: F401
 from . import ssl as _ssl  # noqa: F401 (registers SimDINOSSL)

@@ -189,3 +189,43 @@ def test_lang_pretrainer_and_losses(model_and_params):
     )
     assert np.isfinite(float(loss))
     assert float(loss) > 0
+
+
+def test_lovasz_loss_matches_reference_semantics(rng):
+    """Fixed-shape Lovasz vs a direct dynamic-shape numpy implementation."""
+    import jax.numpy as jnp
+    from scenesplat_tpu.models.losses.lovasz import LovaszLoss
+
+    n, c = 200, 5
+    logits = rng.normal(size=(n, c)).astype(np.float32)
+    labels = rng.integers(-1, c, n).astype(np.int32)
+    mask = rng.random(n) > 0.2
+
+    got = float(
+        LovaszLoss()(jnp.asarray(logits), jnp.asarray(labels), mask=jnp.asarray(mask))
+    )
+
+    # dynamic-shape numpy reference
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    valid = (labels != -1) & mask
+    probs = softmax(logits)[valid]
+    labs = labels[valid]
+    losses = []
+    for cls in range(c):
+        fg = (labs == cls).astype(np.float64)
+        if fg.sum() == 0:
+            continue
+        errors = np.abs(fg - probs[:, cls])
+        order = np.argsort(-errors)
+        e_sorted, fg_sorted = errors[order], fg[order]
+        gts = fg_sorted.sum()
+        inter = gts - np.cumsum(fg_sorted)
+        union = gts + np.cumsum(1 - fg_sorted)
+        jac = 1 - inter / union
+        jac[1:] = jac[1:] - jac[:-1]
+        losses.append((e_sorted * jac).sum())
+    expected = float(np.mean(losses))
+    assert got == pytest.approx(expected, rel=1e-4)
