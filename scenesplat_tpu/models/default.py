@@ -79,3 +79,55 @@ class DefaultClassifier(nn.Module):
         x = nn.relu(self.fc1(pooled))
         x = nn.relu(self.fc2(x))
         return self.fc3(x)
+
+
+@MODELS.register_module()
+class DefaultSegmentor(nn.Module):
+    """v1 segmentor: the backbone itself emits logits (reference
+    models/default.py:11-33); kept for registry parity with backbones that
+    end in a classification layer."""
+
+    backbone: dict
+
+    def setup(self):
+        self.backbone_module = build_model(dict(self.backbone))
+
+    def __call__(self, point: PointBatch, train: bool = False):
+        return self.backbone_module(point, train=train)
+
+
+@MODELS.register_module()
+class DefaultSegmentorSkip(nn.Module):
+    """Backbone + deep MLP seg head (reference models/default.py:179-226)."""
+
+    num_classes: int
+    backbone_out_channels: int
+    backbone: dict
+
+    def setup(self):
+        self.backbone_module = build_model(dict(self.backbone))
+        self.fc1 = nn.Dense(256)
+        self.ln1 = nn.LayerNorm(epsilon=1e-5)
+        self.fc2 = nn.Dense(128)
+        self.ln2 = nn.LayerNorm(epsilon=1e-5)
+        self.fc3 = nn.Dense(self.num_classes)
+
+    def __call__(self, point: PointBatch, train: bool = False):
+        out = self.backbone_module(point, train=train)
+        x = nn.relu(self.ln1(self.fc1(out.feat)))
+        x = nn.relu(self.ln2(self.fc2(x)))
+        return out.replace(feat=self.fc3(x))
+
+
+@MODELS.register_module()
+class DefaultPretrainer(nn.Module):
+    """Backbone features supervised against precomputed CLIP features
+    (reference models/default.py:281-319)."""
+
+    backbone: dict
+
+    def setup(self):
+        self.backbone_module = build_model(dict(self.backbone))
+
+    def __call__(self, point: PointBatch, train: bool = False):
+        return self.backbone_module(point, train=train)

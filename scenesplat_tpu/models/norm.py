@@ -81,3 +81,57 @@ class LayerNorm(nn.Module):
         var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
         y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps)) * scale + bias
         return y.astype(self.dtype)
+
+
+class PDNorm(nn.Module):
+    """Prompt-driven (dataset-conditioned) normalization (reference:
+    pointcept/models/point_prompt_training/prompt_driven_normalization.py:8).
+
+    Holds one norm per condition; the active one is selected per batch by an
+    integer condition index. With ``decouple=False`` a single shared norm is
+    used; ``adaptive`` adds a context-conditioned affine (PPT language-guided
+    variant).
+    """
+
+    features: int
+    conditions: tuple = ("ScanNet", "S3DIS", "Structured3D")
+    norm_type: str = "ln"  # "ln" | "bn"
+    decouple: bool = True
+    adaptive: bool = False
+    context_channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, condition_index, mask=None, context=None,
+                 use_running_average: bool = True):
+        n_norms = len(self.conditions) if self.decouple else 1
+        cidx = jnp.clip(condition_index, 0, n_norms - 1)
+
+        if self.norm_type == "ln":
+            outs = [
+                LayerNorm(self.features, dtype=self.dtype, name=f"norm{i}")(x)
+                for i in range(n_norms)
+            ]
+        else:
+            outs = [
+                MaskedBatchNorm(self.features, dtype=self.dtype, name=f"norm{i}")(
+                    x, mask, use_running_average=use_running_average
+                )
+                for i in range(n_norms)
+            ]
+        if n_norms == 1:
+            y = outs[0]
+        else:
+            stacked = jnp.stack(outs)  # [C, B, N, F]
+            y = jnp.take(stacked, cidx, axis=0)
+            if y.ndim == x.ndim + 1:  # per-batch condition [B]
+                y = jnp.take_along_axis(
+                    stacked, cidx.reshape(1, -1, 1, 1).astype(jnp.int32), axis=0
+                )[0]
+        if self.adaptive and context is not None:
+            mod = nn.Dense(2 * self.features, use_bias=False, name="modulation")(
+                nn.silu(context)
+            )
+            shift, scale = jnp.split(mod, 2, axis=-1)
+            y = y * (1 + scale[:, None, :]) + shift[:, None, :]
+        return y

@@ -214,9 +214,7 @@ def lookup_pair_batched(
     qhi = query_hi.reshape(b, m)
     qlo = query_lo.reshape(b, m)
     if data_payload is None:
-        data_payload = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[None], (b, n)
-        )
+        data_payload = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
     if packed:
         return _lookup_packed(
             data_hi, data_lo, qhi, qlo, data_payload, qshape
@@ -232,7 +230,7 @@ def lookup_pair_batched(
     qid = jnp.concatenate(
         [
             jnp.full((b, n), m, jnp.int32),  # data slots sort after all queries
-            jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None], (b, m)),
+            jax.lax.broadcasted_iota(jnp.int32, (b, m), 1),
         ],
         axis=-1,
     )
@@ -294,7 +292,7 @@ def _lookup_packed(data_hi, data_lo, qhi, qlo, data_payload, qshape):
     qid = jnp.concatenate(
         [
             jnp.full((b, n), m, jnp.int32),
-            jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None], (b, m)),
+            jax.lax.broadcasted_iota(jnp.int32, (b, m), 1),
         ],
         axis=-1,
     )

@@ -145,9 +145,7 @@ def build_pooling_plan(
     seg_sorted = jnp.where(mask_sorted & in_cap, cluster_sorted, m).astype(jnp.int32)
 
     # first sorted position of each cluster
-    pos = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[None, :], seg_sorted.shape
-    )
+    pos = jax.lax.broadcasted_iota(jnp.int32, seg_sorted.shape, seg_sorted.ndim - 1)
     head_pos = segment_min(pos[..., None], seg_sorted, m + 1)[..., 0]
     head_pos = jnp.clip(head_pos[..., :m], 0, n - 1)
     head_index = take_along_points(order0, head_pos)
@@ -156,7 +154,7 @@ def build_pooling_plan(
         mask_sorted.astype(jnp.int32)[..., None], seg_sorted, m + 1
     )[..., :m, 0]
     out_mask = (
-        jnp.arange(m, dtype=jnp.int32)[None, :]
+        jax.lax.broadcasted_iota(jnp.int32, (mask.shape[0], m), 1)
         < jnp.minimum(n_clusters, m)[:, None]
     )
 

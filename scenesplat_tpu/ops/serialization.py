@@ -111,7 +111,8 @@ def take_along_points(values: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
     b, n = values.shape[:2]
     rest = values.shape[2:]
     flat = values.reshape((b * n,) + rest)
-    idx = indices.astype(jnp.int32) + (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    base = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) * n
+    idx = indices.astype(jnp.int32) + base
     out = jnp.take(flat, idx.reshape(-1), axis=0)
     return out.reshape((b, indices.shape[1]) + rest)
 
