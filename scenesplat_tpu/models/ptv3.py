@@ -41,6 +41,7 @@ from scenesplat_tpu.ops.subm_conv import (
     SubMConvPlan,
     build_subm_conv_plan,
     subm_conv_apply,
+    subplan,
 )
 from scenesplat_tpu.ops.window_attention import window_attention
 from .builder import MODELS
@@ -379,19 +380,18 @@ class PointTransformerV3(nn.Module):
                 return None
             return (ser.code_hi[z_idx], ser.code_lo[z_idx], ser.order[z_idx])
 
+        # ONE full-resolution merge-join builds the k=5 stem plan; the k=3
+        # xCPE plan for stage 0 is a 27-offset slice of it
+        stem_plan = build_subm_conv_plan(
+            point.grid_coord, point.mask, kernel_size=5,
+            depth=self.serialization_depth, z_sorted=_z_sorted(point.ser),
+        )
         state = StageState(
             coord=point.coord,
             grid_coord=point.grid_coord,
             mask=point.mask,
             ser=point.ser,
-            conv_plan=build_subm_conv_plan(
-                point.grid_coord, point.mask, kernel_size=3,
-                depth=self.serialization_depth, z_sorted=_z_sorted(point.ser),
-            ),
-        )
-        stem_plan = build_subm_conv_plan(
-            point.grid_coord, point.mask, kernel_size=5,
-            depth=self.serialization_depth, z_sorted=_z_sorted(point.ser),
+            conv_plan=subplan(stem_plan, 3),
         )
         feat = Embedding(
             self.in_channels, self.enc_channels[0], dtype=self.dtype,

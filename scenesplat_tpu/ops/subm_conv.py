@@ -48,6 +48,23 @@ def kernel_offsets(kernel_size: int) -> Tuple[Tuple[int, int, int], ...]:
     return tuple(itertools.product(range(-r, r + 1), repeat=3))
 
 
+def subplan(plan: SubMConvPlan, kernel_size: int) -> SubMConvPlan:
+    """Extract a smaller-kernel plan from a larger one (e.g. k=3 from the
+    k=5 stem plan): the 27 offsets are a subset of the 125, so the stage-0
+    xCPE plan costs one slice instead of another full-resolution merge-join."""
+    assert kernel_size < plan.kernel_size
+    big = kernel_offsets(plan.kernel_size)
+    idx = [big.index(off) for off in kernel_offsets(kernel_size)]
+    import numpy as _np
+
+    sel = _np.asarray(idx)
+    return SubMConvPlan(
+        neighbor_index=plan.neighbor_index[:, sel],
+        neighbor_valid=plan.neighbor_valid[:, sel],
+        kernel_size=kernel_size,
+    )
+
+
 def build_subm_conv_plan(
     grid_coord: jnp.ndarray,
     mask: jnp.ndarray,
@@ -80,19 +97,45 @@ def build_subm_conv_plan(
             is_stable=False,
         )
 
-    # All kernel offsets resolved by ONE sort-based merge-join (see
+    # All kernel offsets resolved by sort-based merge-joins (see
     # bitops.lookup_pair_batched): the matched neighbor's original index rides
-    # the scan as payload, so the plan needs zero scalar gathers.
-    offsets = jnp.asarray(kernel_offsets(kernel_size), jnp.int32)  # [K3, 3]
-    q = grid_coord[:, None, :, :] + offsets[None, :, None, :]  # [B, K3, N, 3]
+    # the scan as payload, so the plan needs zero scalar gathers. Offsets are
+    # grouped so each join row stays below ~2M elements: XLA-TPU sort compile
+    # memory/time scales superlinearly with row length (a single 8M-row sort
+    # OOMs the compiler), while grouped rows become ONE batched sort instance.
+    offsets_t = kernel_offsets(kernel_size)
+    k3 = len(offsets_t)
+    b = grid_coord.shape[0]
+    target_row = 1 << 20
+    group_size = max(1, min(k3, target_row // max(n, 1) - 1))
+    g = -(-k3 // group_size)
+    k3p = g * group_size
+    # pad with out-of-range offsets (never found)
+    pad_off = ((1 << 20), (1 << 20), (1 << 20))
+    offsets = jnp.asarray(
+        offsets_t + (pad_off,) * (k3p - k3), jnp.int32
+    )  # [K3p, 3]
+
+    q = grid_coord[:, None, :, :] + offsets[None, :, None, :]  # [B, K3p, N, 3]
     in_range = jnp.all((q >= 0) & (q <= limit), axis=-1) & mask[:, None, :]
     qc = jnp.clip(q, 0, limit)
-    qhi, qlo = z_order_encode(qc, depth=depth)  # [B, K3, N]
+    qhi, qlo = z_order_encode(qc, depth=depth)  # [B, K3p, N]
+
+    def tile_rows(x):  # [B, N] -> [B*G, N]
+        return jnp.broadcast_to(x[:, None], (b, g) + x.shape[1:]).reshape(
+            (b * g,) + x.shape[1:]
+        )
 
     nbr, found = lookup_pair_batched(
-        shi, slo, qhi, qlo, data_payload=order, packed=depth <= 10
+        tile_rows(shi),
+        tile_rows(slo),
+        qhi.reshape(b * g, group_size * n),
+        qlo.reshape(b * g, group_size * n),
+        data_payload=tile_rows(order),
+        packed=depth <= 10,
     )
-    found = found & in_range
+    nbr = nbr.reshape(b, k3p, n)[:, :k3]
+    found = found.reshape(b, k3p, n)[:, :k3] & in_range[:, :k3]
 
     return SubMConvPlan(
         neighbor_index=nbr.astype(jnp.int32),
