@@ -56,6 +56,7 @@ class ZeroShotSemSegTester(TesterBase):
         save_feat: bool = False,
         skip_eval: bool = False,
         save_path: Optional[str] = None,
+        save_submission: bool = False,
         max_scenes: Optional[int] = None,
         **kwargs,
     ):
@@ -72,6 +73,7 @@ class ZeroShotSemSegTester(TesterBase):
         self.save_feat = save_feat
         self.skip_eval = skip_eval
         self.save_path = save_path
+        self.save_submission = save_submission
         self.max_scenes = max_scenes
 
     def test(self):
@@ -127,8 +129,14 @@ class ZeroShotSemSegTester(TesterBase):
                     valid = np.ones(len(pred), bool)
 
             if self.pred_label_mapping:
-                for src, dst in self.pred_label_mapping.items():
-                    pred[pred == int(src)] = int(dst)
+                for src_label, dst in self.pred_label_mapping.items():
+                    pred[pred == int(src_label)] = int(dst)
+
+            if self.save_submission and self.save_path:
+                _write_submission(
+                    self.save_path, name, pred, type(self.dataset).__name__,
+                    getattr(self.dataset, "class2id", None),
+                )
 
             if self.enable_voting and "pc_coord" in scene:
                 vmask = valid & (pred != self.ignore_index)
@@ -160,6 +168,36 @@ class ZeroShotSemSegTester(TesterBase):
                     f"  class {ci:3d} {cname}: iou {results['iou_per_class'][ci]:.4f}"
                 )
         return results
+
+
+@TESTERS.register_module()
+class ClsTester(TesterBase):
+    """Scene/object classification tester (reference test.py:958-1037)."""
+
+    def __init__(self, num_classes: int, max_scenes: Optional[int] = None, **kwargs):
+        super().__init__(**kwargs)
+        self.num_classes = num_classes
+        self.max_scenes = max_scenes
+
+    def test(self):
+        correct = total = 0
+        n = len(self.dataset)
+        if self.max_scenes:
+            n = min(n, self.max_scenes)
+        for i in range(n):
+            sample = self.dataset[i]
+            logits = self.extractor(self.variables, sample)
+            # extractor returns per-point output; classifier heads pool, but
+            # for Point outputs average the per-point logits
+            if logits.ndim == 2 and logits.shape[0] > 1:
+                logits = logits.mean(axis=0)
+            pred = int(np.argmax(logits))
+            target = int(np.asarray(sample["category"]).reshape(-1)[0])
+            correct += int(pred == target)
+            total += 1
+        acc = correct / max(total, 1)
+        self.logger.info(f"cls accuracy: {acc:.4f} ({correct}/{total})")
+        return {"allAcc": acc}
 
 
 @TESTERS.register_module()
@@ -204,6 +242,21 @@ class SemSegTester(TesterBase):
         miou = float(iou[seen].mean()) if seen.any() else 0.0
         self.logger.info(f"test mIoU {miou:.4f}")
         return {"mIoU": miou, "iou_per_class": iou}
+
+
+def _write_submission(save_path, name, pred, dataset_type, class2id=None):
+    """Benchmark submission writers (reference test.py:396-465)."""
+    submit_dir = os.path.join(save_path, "submit")
+    os.makedirs(submit_dir, exist_ok=True)
+    if dataset_type in ("ScanNetGSDataset", "ScanNet200GSDataset") and class2id is not None:
+        mapped = np.where(pred >= 0, class2id[np.clip(pred, 0, len(class2id) - 1)], 0)
+        np.savetxt(os.path.join(submit_dir, f"{name}.txt"),
+                   mapped.reshape(-1, 1), fmt="%d")
+    elif dataset_type == "KITTI360GSDataset":
+        pred.astype(np.uint32).tofile(os.path.join(submit_dir, f"{name}.label"))
+    else:  # ScanNet++ / Matterport3D / HoliCity: raw int labels
+        np.savetxt(os.path.join(submit_dir, f"{name}.txt"),
+                   pred.astype(np.int32), delimiter=",", fmt="%d")
 
 
 def build_tester(cfg, model, variables, dataset_cfg, patch_size=1024):
