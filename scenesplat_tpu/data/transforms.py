@@ -900,3 +900,97 @@ class CollectContrast:
                 axis=1,
             )
         return data
+
+
+@TRANSFORMS.register_module()
+class GSGaussianBlurVoxelOpc:
+    """Opacity-masked voxelized Gaussian blur of 3DGS attributes
+    (reference transform.py:61-176): rasterize high-opacity Gaussians into a
+    dense voxel grid, Gaussian-blur attributes + occupancy weights jointly,
+    and read back the renormalized values (quaternions re-normalized)."""
+
+    def __init__(self, p=0.5, sigma=(0.1, 2, 0), extra_keys=()):
+        self.p = p
+        self.sigma = sigma
+        self.extra_keys = tuple(extra_keys or ())
+
+    def __call__(self, data_dict):
+        if np.random.rand() >= self.p:
+            return data_dict
+        import scipy.ndimage
+
+        assert "grid_coord" in data_dict, "GridSample(return_grid_coord) required"
+        grid_coord = data_dict["grid_coord"]
+        opacity = np.asarray(data_dict["opacity"]).reshape(-1)
+        sigma = np.random.uniform(self.sigma[0], self.sigma[1])
+
+        blur_mask = opacity > 0.5
+        if not blur_mask.any():
+            return data_dict
+        gmin = grid_coord.min(axis=0)
+        gsize = grid_coord.max(axis=0) - gmin + 1
+        idx = tuple((grid_coord[blur_mask] - gmin).astype(int).T)
+
+        keys = ["color"] + [k for k in self.extra_keys if k in data_dict]
+        channels, slices, start = [], {}, 0
+        for k in keys:
+            v = np.asarray(data_dict[k], np.float32)
+            v = v.reshape(len(v), -1)
+            channels.append(v[blur_mask])
+            slices[k] = slice(start, start + v.shape[1])
+            start += v.shape[1]
+        values = np.concatenate(channels + [np.ones((blur_mask.sum(), 1), np.float32)], axis=1)
+
+        grid = np.zeros((*gsize, values.shape[1]), np.float32)
+        grid[idx] = values
+        blurred = scipy.ndimage.gaussian_filter(
+            grid, sigma=sigma, truncate=2.0, axes=(0, 1, 2)
+        )
+        weights = blurred[..., -1:][idx] + 1e-7
+        for k in keys:
+            out = np.asarray(data_dict[k], np.float32).copy()
+            flat = out.reshape(len(out), -1)
+            flat[blur_mask] = blurred[idx][:, slices[k]] / weights
+            if k == "quat":
+                flat[blur_mask] /= np.maximum(
+                    np.linalg.norm(flat[blur_mask], axis=1, keepdims=True), 1e-9
+                )
+            data_dict[k] = flat.reshape(np.asarray(data_dict[k]).shape)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class InstanceParser:
+    """Instance-centroid/bbox parsing for instance-seg training
+    (reference transform.py:1621-1663)."""
+
+    def __init__(self, segment_ignore_index=(-1, 0, 1), instance_ignore_index=-1):
+        self.segment_ignore_index = segment_ignore_index
+        self.instance_ignore_index = instance_ignore_index
+
+    def __call__(self, data_dict):
+        coord = data_dict["coord"]
+        segment = data_dict["segment"]
+        instance = np.asarray(data_dict["instance"]).copy()
+        mask = ~np.isin(segment, self.segment_ignore_index)
+        instance[~mask] = self.instance_ignore_index
+        unique, inverse = np.unique(instance[mask], return_inverse=True)
+        instance_num = len(unique)
+        instance[mask] = inverse
+        centroid = np.full((coord.shape[0], 3), self.instance_ignore_index, np.float64)
+        bbox = np.full((instance_num, 8), self.instance_ignore_index, np.float64)
+        vacancy = [i for i in self.segment_ignore_index if i >= 0]
+        for inst_id in range(instance_num):
+            m = instance == inst_id
+            c = coord[m]
+            bmin, bmax = c.min(0), c.max(0)
+            cls = np.array([segment[m][0]], dtype=np.float64)
+            cls -= np.greater(cls, vacancy).sum()
+            centroid[m] = c.mean(0)
+            bbox[inst_id] = np.concatenate(
+                [(bmax + bmin) / 2, bmax - bmin, np.zeros(1), cls]
+            )
+        data_dict["instance"] = instance
+        data_dict["instance_centroid"] = centroid
+        data_dict["bbox"] = bbox
+        return data_dict

@@ -153,7 +153,9 @@ def subm_conv_apply(
     """feat [B, N, Cin], weight [K3, Cin, Cout] -> [B, N, Cout].
 
     Accumulates one gathered matmul per kernel offset; the Python loop unrolls
-    at trace time and XLA pipelines gather+matmul pairs.
+    at trace time and XLA pipelines gather+matmul pairs. (A single wide
+    [N, K3*Cin] gather+matmul was tried and compiles pathologically slowly on
+    the TPU toolchain.)
     """
     k3 = weight.shape[0]
     assert k3 == plan.neighbor_index.shape[1]
