@@ -57,22 +57,6 @@ class StageState(NamedTuple):
     mask: jnp.ndarray
     ser: Serialization
     conv_plan: SubMConvPlan
-    valid_sorted: jnp.ndarray  # [S, B, N] key-validity per curve (hoisted)
-
-
-def _stage_valid_sorted(ser: Serialization, mask: jnp.ndarray) -> jnp.ndarray:
-    """Per-curve sorted key-validity masks, computed once per stage instead of
-    in every attention block. Flat gather (batched take_along_axis lowers to
-    a pathologically slow gather on TPU)."""
-    s = ser.order.shape[0]
-    b, n = mask.shape
-    flat_mask = jnp.broadcast_to(
-        mask.astype(jnp.int32)[None], (s, b, n)
-    ).reshape(-1)
-    base = jax.lax.broadcasted_iota(jnp.int32, (s * b, 1), 0) * n
-    idx = ser.order.reshape(s * b, n) + base
-    out = jnp.take(flat_mask, idx.reshape(-1), axis=0)
-    return out.reshape(s, b, n).astype(bool)
 
 
 def _gelu(x):
@@ -154,9 +138,9 @@ class SerializedAttention(nn.Module):
         qkv_sorted = take_along_points(qkv, order).reshape(
             qkv.shape[0], qkv.shape[1], 3, c
         )
-        valid_sorted = jnp.take(
-            state.valid_sorted, state.ser.perm[self.order_index], axis=0
-        )
+        valid_sorted = take_along_points(
+            state.mask.astype(jnp.int32), order
+        ).astype(bool)
         out_sorted = window_attention(
             qkv_sorted,
             valid_sorted,
@@ -408,7 +392,6 @@ class PointTransformerV3(nn.Module):
             mask=point.mask,
             ser=point.ser,
             conv_plan=subplan(stem_plan, 3),
-            valid_sorted=_stage_valid_sorted(point.ser, point.mask),
         )
         feat = Embedding(
             self.in_channels, self.enc_channels[0], dtype=self.dtype,
@@ -452,7 +435,6 @@ class PointTransformerV3(nn.Module):
                         depth=self.serialization_depth,
                         z_sorted=_z_sorted(ser),
                     ),
-                    valid_sorted=_stage_valid_sorted(ser, mask),
                 )
             for i in range(self.enc_depths[s]):
                 feat = Block(
