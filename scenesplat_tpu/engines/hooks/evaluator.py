@@ -191,3 +191,183 @@ class SemSegEvaluator(HookBase):
         self.trainer.comm_info["current_metric_value"] = miou
         self.trainer.comm_info["current_metric_name"] = "mIoU"
         self.trainer.storage.put_scalar("val/mIoU", miou)
+
+
+@HOOKS.register_module()
+class ClsEvaluator(HookBase):
+    """Classification evaluation over cfg.data.val (reference
+    evaluator.py:20-102): per-class IoU/accuracy from argmax predictions;
+    checkpoint metric = allAcc."""
+
+    def __init__(self, max_scenes: Optional[int] = None, batch_points: int = 0):
+        self.max_scenes = max_scenes
+        self.batch_points = batch_points
+
+    def before_train(self):
+        cfg = self.trainer.cfg
+        val_cfg = cfg.data.get("val")
+        self.dataset = build_dataset(dict(val_cfg)) if val_cfg else None
+        self.num_classes = cfg.data.get("num_classes")
+        self.names = cfg.data.get(
+            "names", [str(i) for i in range(self.num_classes or 0)]
+        )
+        if self.dataset is not None:
+            import jax
+
+            model = self.trainer.model
+
+            def fwd(variables, coord, feat, grid_coord, mask):
+                from scenesplat_tpu.models.structure import PointBatch
+
+                point = PointBatch(
+                    coord=coord, feat=feat, grid_coord=grid_coord, mask=mask
+                )
+                return model.apply(variables, point, train=False)
+
+            self._fwd = jax.jit(fwd)
+
+    def after_epoch(self):
+        if self.dataset is None:
+            return
+        variables = {
+            "params": self.trainer.state.params,
+            "batch_stats": self.trainer.state.batch_stats,
+        }
+        n_scenes = len(self.dataset)
+        if self.max_scenes:
+            n_scenes = min(n_scenes, self.max_scenes)
+        inter = np.zeros(self.num_classes)
+        union = np.zeros(self.num_classes)
+        target = np.zeros(self.num_classes)
+        n_pts = self.batch_points or self.trainer.cfg.data.get("num_points", 1024)
+        for i in range(n_scenes):
+            sample = self.dataset[i]
+            coord = np.asarray(sample["coord"], np.float32)
+            feat = np.asarray(sample["feat"], np.float32)
+            gc = np.asarray(sample["grid_coord"], np.int32)
+            n = coord.shape[0]
+            tgt = max(n_pts, n)
+            pad = tgt - n
+            mask = np.zeros(tgt, bool)
+            mask[:n] = True
+
+            def p(x):
+                return np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))[None]
+
+            logits = np.asarray(
+                self._fwd(variables, p(coord), p(feat), p(gc), mask[None])
+            )[0]
+            pred = int(logits.argmax(-1))
+            label = int(np.asarray(sample["category"]).reshape(-1)[0])
+            if 0 <= label < self.num_classes:
+                target[label] += 1
+                union[label] += 1
+                if pred == label:
+                    inter[label] += 1
+                elif 0 <= pred < self.num_classes:
+                    union[pred] += 1
+        iou = inter / np.maximum(union, 1e-10)
+        acc = inter / np.maximum(target, 1e-10)
+        seen = target > 0
+        m_iou = float(iou[seen].mean()) if seen.any() else 0.0
+        m_acc = float(acc[seen].mean()) if seen.any() else 0.0
+        all_acc = float(inter.sum() / max(target.sum(), 1e-10))
+        self.trainer.logger.info(
+            f"Val result: mIoU/mAcc/allAcc {m_iou:.4f}/{m_acc:.4f}/{all_acc:.4f}"
+        )
+        self.trainer.comm_info["current_metric_value"] = all_acc
+        self.trainer.comm_info["current_metric_name"] = "allAcc"
+        self.trainer.storage.put_scalar("val/allAcc", all_acc)
+        self.trainer.storage.put_scalar("val/mAcc", m_acc)
+
+
+@HOOKS.register_module()
+class InsSegEvaluator(HookBase):
+    """Instance-segmentation evaluation with the ScanNet AP protocol
+    (reference evaluator.py:249-625); PointGroup proposals are generated
+    host-side from the jitted (logits, bias) forward. Checkpoint metric =
+    AP50."""
+
+    def __init__(
+        self,
+        segment_ignore_index=(-1,),
+        instance_ignore_index: int = -1,
+        max_scenes: Optional[int] = None,
+    ):
+        self.segment_ignore_index = tuple(segment_ignore_index)
+        self.instance_ignore_index = instance_ignore_index
+        self.max_scenes = max_scenes
+
+    def before_train(self):
+        import jax.numpy as jnp
+
+        cfg = self.trainer.cfg
+        val_cfg = cfg.data.get("val")
+        self.dataset = build_dataset(dict(val_cfg)) if val_cfg else None
+        self.num_classes = cfg.data.get("num_classes")
+        self.names = cfg.data.get(
+            "names", [str(i) for i in range(self.num_classes or 0)]
+        )
+        self.model_cfg = dict(cfg.model)
+        if self.dataset is not None:
+            self.extractor = FeatureExtractor(
+                self.trainer.model,
+                patch_size=1024,
+                output_fn=lambda out: jnp.concatenate(
+                    [out[0].feat, out[1].astype(out[0].feat.dtype)], axis=-1
+                ),
+            )
+
+    def after_epoch(self):
+        if self.dataset is None:
+            return
+        from scenesplat_tpu.models.point_group import proposals_from_predictions
+        from scenesplat_tpu.utils.insseg_eval import (
+            associate_instances,
+            evaluate_matches,
+        )
+
+        variables = {
+            "params": self.trainer.state.params,
+            "batch_stats": self.trainer.state.batch_stats,
+        }
+        mc = self.model_cfg
+        scenes = []
+        n_scenes = len(self.dataset)
+        if self.max_scenes:
+            n_scenes = min(n_scenes, self.max_scenes)
+        for i in range(n_scenes):
+            sample = self.dataset[i]
+            out = self.extractor(variables, sample)
+            logits, bias = out[:, : -3], out[:, -3:]
+            pred = proposals_from_predictions(
+                np.asarray(sample["coord"], np.float32), logits, bias,
+                segment_ignore_index=mc.get(
+                    "segment_ignore_index", self.segment_ignore_index
+                ),
+                cluster_thresh=mc.get("cluster_thresh", 1.5),
+                cluster_propose_points=mc.get("cluster_propose_points", 100),
+                cluster_min_points=mc.get("cluster_min_points", 50),
+                voxel_size=mc.get("voxel_size", 0.02),
+            )
+            scenes.append(associate_instances(
+                pred["pred_masks"], pred["pred_classes"], pred["pred_scores"],
+                np.asarray(sample["segment"]).reshape(-1),
+                np.asarray(sample["instance"]).reshape(-1),
+                self.num_classes,
+                segment_ignore_index=self.segment_ignore_index,
+                instance_ignore_index=self.instance_ignore_index,
+            ))
+        scores = evaluate_matches(
+            scenes, self.num_classes, self.names,
+            segment_ignore_index=self.segment_ignore_index,
+        )
+        self.trainer.logger.info(
+            "Val result: mAP/AP50/AP25 {:.4f}/{:.4f}/{:.4f}".format(
+                scores["all_ap"], scores["all_ap_50%"], scores["all_ap_25%"]
+            )
+        )
+        self.trainer.comm_info["current_metric_value"] = scores["all_ap_50%"]
+        self.trainer.comm_info["current_metric_name"] = "AP50"
+        self.trainer.storage.put_scalar("val/mAP", scores["all_ap"])
+        self.trainer.storage.put_scalar("val/AP50", scores["all_ap_50%"])

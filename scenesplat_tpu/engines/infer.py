@@ -28,11 +28,16 @@ class FeatureExtractor:
         patch_size: int = 1024,
         buckets: Optional[Sequence[int]] = None,
         chunk_size: int = 524288,
+        output_fn=None,
     ):
+        """``output_fn`` maps the model output to one [B, N, C] array
+        (default: PointBatch.feat). Models with auxiliary outputs (e.g.
+        PointGroup's bias head) concatenate them here."""
         self.model = model
         self.patch_size = patch_size
         self.buckets = sorted(buckets) if buckets else None
         self.chunk_size = chunk_size
+        self.output_fn = output_fn or (lambda out: out.feat)
         self._jitted = {}
 
     def _bucket(self, n: int) -> int:
@@ -51,7 +56,7 @@ class FeatureExtractor:
                     coord=coord, feat=feat, grid_coord=grid_coord, mask=mask
                 )
                 out = self.model.apply(variables, point, train=False)
-                return out.feat
+                return self.output_fn(out)
 
             self._jitted[bucket] = jax.jit(fwd)
         return self._jitted[bucket]

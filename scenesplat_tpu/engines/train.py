@@ -85,7 +85,11 @@ class TrainerBase:
 class Trainer(TrainerBase):
     """Single-dataset trainer; task inferred from the model type."""
 
-    TASKS = {"LangPretrainer": "lang", "DefaultSegmentorV2": "semseg"}
+    TASKS = {
+        "LangPretrainer": "lang",
+        "DefaultSegmentorV2": "semseg",
+        "PG-v1m1": "insseg",
+    }
 
     def __init__(self, cfg):
         super().__init__()

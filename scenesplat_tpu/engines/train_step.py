@@ -67,8 +67,9 @@ def make_train_step(
 ) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
-    ``task``: "lang" (VL pretraining: criteria(feat, lang_feat, ...)) or
-    "semseg" (criteria(logits, segment)).
+    ``task``: "lang" (VL pretraining: criteria(feat, lang_feat, ...)),
+    "semseg" (criteria(logits, segment)), or "insseg" (PointGroup: CE via
+    criteria + bias L1/cosine, reference point_group_v1m1_base.py:72-95).
     """
 
     def loss_fn(params, batch_stats, batch, rngs, loss_rng):
@@ -80,7 +81,16 @@ def make_train_step(
             rngs=rngs,
             mutable=["batch_stats"],
         )
-        if task == "lang":
+        if task == "insseg":
+            from scenesplat_tpu.models.point_group import pointgroup_loss
+
+            out_point, bias_pred = out
+            loss, _ = pointgroup_loss(
+                out_point.feat, bias_pred, out_point.coord,
+                batch["segment"], batch["instance"],
+                batch["instance_centroid"], out_point.mask, criteria=criteria,
+            )
+        elif task == "lang":
             loss = criteria(
                 out.feat,
                 batch["lang_feat"],

@@ -1,6 +1,11 @@
 from .builder import MODELS, build_model
 from .structure import PointBatch
 from . import ptv3  # noqa: F401 (registers PT-v3m1)
+from . import ptv2  # noqa: F401 (registers PT-v2m1/m2)
+from . import spunet  # noqa: F401 (registers SpUNet variants)
+from . import mink_unet  # noqa: F401 (registers MinkUNet variants)
+from . import ptv1  # noqa: F401 (registers PointTransformer Seg/Cls)
+from . import point_group  # noqa: F401 (registers PG-v1m1)
 from . import default  # noqa: F401 (registers task heads)
 from .losses.builder import LOSSES, build_criteria
 from .losses import misc as _losses_misc  # noqa: F401

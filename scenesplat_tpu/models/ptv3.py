@@ -64,26 +64,40 @@ def _gelu(x):
 
 
 class SubMConv(nn.Module):
-    """Parameter holder applying ops.subm_conv (spconv.SubMConv3d stand-in)."""
+    """Parameter holder applying ops.subm_conv (spconv.SubMConv3d stand-in).
+
+    ``trunc_normal_std`` switches to trunc-normal init (SpUNet's _init_weights
+    convention, spconv_unet_v1m1_base.py:228-240); default is torch
+    kaiming-uniform conv init.
+    """
 
     in_channels: int
     out_channels: int
     kernel_size: int = 3
     use_bias: bool = True
+    trunc_normal_std: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat, plan: SubMConvPlan):
         k3 = self.kernel_size**3
-        # fan-in init matching torch kaiming-uniform default for convs
-        bound = 1.0 / math.sqrt(self.in_channels * k3)
-        kernel = self.param(
-            "kernel",
-            nn.initializers.uniform(scale=2 * bound),
-            (k3, self.in_channels, self.out_channels),
-            jnp.float32,
-        )
-        kernel = kernel - bound  # uniform(0, 2b) -> uniform(-b, b)
+        if self.trunc_normal_std is not None:
+            kernel = self.param(
+                "kernel",
+                nn.initializers.truncated_normal(self.trunc_normal_std),
+                (k3, self.in_channels, self.out_channels),
+                jnp.float32,
+            )
+        else:
+            # fan-in init matching torch kaiming-uniform default for convs
+            bound = 1.0 / math.sqrt(self.in_channels * k3)
+            kernel = self.param(
+                "kernel",
+                nn.initializers.uniform(scale=2 * bound),
+                (k3, self.in_channels, self.out_channels),
+                jnp.float32,
+            )
+            kernel = kernel - bound  # uniform(0, 2b) -> uniform(-b, b)
         bias = (
             self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
             if self.use_bias

@@ -42,6 +42,7 @@ def _load():
         lib.grid_sample_train.restype = ctypes.c_int64
         lib.knn_grid.restype = None
         lib.majority_vote.restype = None
+        lib.pointgroup_cluster.restype = ctypes.c_int64
         _LIB = lib
     except Exception:
         _LIB = False
@@ -129,6 +130,51 @@ def knn(data: np.ndarray, query: np.ndarray, k: int, cell: float | None = None):
         _ptr(out, ctypes.c_int32),
     )
     return out
+
+
+def pointgroup_cluster(
+    coord: np.ndarray, labels: np.ndarray, radius: float, min_points: int
+):
+    """Same-label radius-graph connected components (reference
+    pointgroup_ops ballquery_batch_p + bfs_cluster,
+    libs/pointgroup_ops/functions/functions.py:5-176). Returns
+    (cluster_id [n] int32 with -1 for unclustered, num_clusters)."""
+    lib = _load()
+    coord = np.ascontiguousarray(coord, np.float32)
+    labels = np.ascontiguousarray(labels, np.int32)
+    n = coord.shape[0]
+    if n == 0:
+        return np.empty(0, np.int32), 0
+    if not lib:
+        from scipy.spatial import cKDTree
+
+        pairs = cKDTree(coord).query_pairs(radius, output_type="ndarray")
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            if labels[a] != labels[b]:
+                continue
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        roots = np.array([find(i) for i in range(n)])
+        uniq, counts = np.unique(roots, return_counts=True)
+        keep = {r: i for i, r in enumerate(uniq[counts >= min_points])}
+        out = np.array([keep.get(r, -1) for r in roots], np.int32)
+        return out, len(keep)
+    out = np.empty(n, np.int32)
+    m = lib.pointgroup_cluster(
+        _ptr(coord, ctypes.c_float), _ptr(labels, ctypes.c_int32),
+        ctypes.c_int64(n), ctypes.c_float(radius),
+        ctypes.c_int32(min_points), _ptr(out, ctypes.c_int32),
+    )
+    return out, int(m)
 
 
 def majority_vote(labels: np.ndarray, num_classes: int, ignore_index: int = -1):

@@ -15,6 +15,7 @@
 #include <unordered_map>
 #include <algorithm>
 #include <cmath>
+#include <functional>
 #include <random>
 
 extern "C" {
@@ -140,6 +141,79 @@ void knn_grid(
             out_idx[q * k + j] = (int32_t)(j < kk ? cand[(size_t)j].second
                                                   : (kk > 0 ? cand[0].second : 0));
     }
+}
+
+// PointGroup proposal clustering: connected components of the same-label
+// radius graph (reference pointgroup_ops ballquery_batch_p + bfs_cluster,
+// libs/pointgroup_ops/src/bfs_cluster.cpp). Union-find over grid-hash
+// neighbor candidates gives the same components as BFS. Components smaller
+// than min_points get id -1. Returns the number of clusters kept.
+int64_t pointgroup_cluster(
+    const float* coord,    // [n, 3] (bias-shifted centers)
+    const int32_t* labels, // [n] semantic label per point
+    int64_t n,
+    float radius,
+    int32_t min_points,
+    int32_t* out_cluster   // [n] compact cluster id or -1
+) {
+    const float r2 = radius * radius;
+    auto pack = [](int64_t gx, int64_t gy, int64_t gz) -> uint64_t {
+        const int64_t off = 1LL << 20;
+        return ((uint64_t)(gx + off) << 42) | ((uint64_t)(gy + off) << 21)
+               | (uint64_t)(gz + off);
+    };
+    std::unordered_map<uint64_t, std::vector<int32_t>> grid;
+    grid.reserve((size_t)n * 2);
+    auto cell_of = [&](int64_t i, int64_t& cx, int64_t& cy, int64_t& cz) {
+        cx = (int64_t)std::floor(coord[i * 3] / radius);
+        cy = (int64_t)std::floor(coord[i * 3 + 1] / radius);
+        cz = (int64_t)std::floor(coord[i * 3 + 2] / radius);
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t cx, cy, cz;
+        cell_of(i, cx, cy, cz);
+        grid[pack(cx, cy, cz)].push_back((int32_t)i);
+    }
+    std::vector<int32_t> parent((size_t)n);
+    for (int64_t i = 0; i < n; ++i) parent[(size_t)i] = (int32_t)i;
+    std::function<int32_t(int32_t)> find = [&](int32_t x) {
+        while (parent[(size_t)x] != x) {
+            parent[(size_t)x] = parent[(size_t)parent[(size_t)x]];
+            x = parent[(size_t)x];
+        }
+        return x;
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t cx, cy, cz;
+        cell_of(i, cx, cy, cz);
+        for (int64_t dx = -1; dx <= 1; ++dx)
+            for (int64_t dy = -1; dy <= 1; ++dy)
+                for (int64_t dz = -1; dz <= 1; ++dz) {
+                    auto it = grid.find(pack(cx + dx, cy + dy, cz + dz));
+                    if (it == grid.end()) continue;
+                    for (int32_t j : it->second) {
+                        if (j <= (int32_t)i || labels[j] != labels[i]) continue;
+                        float ddx = coord[j * 3] - coord[i * 3];
+                        float ddy = coord[j * 3 + 1] - coord[i * 3 + 1];
+                        float ddz = coord[j * 3 + 2] - coord[i * 3 + 2];
+                        if (ddx * ddx + ddy * ddy + ddz * ddz > r2) continue;
+                        int32_t ri = find((int32_t)i), rj = find(j);
+                        if (ri != rj) parent[(size_t)ri] = rj;
+                    }
+                }
+    }
+    std::unordered_map<int32_t, int32_t> sizes;
+    for (int64_t i = 0; i < n; ++i) sizes[find((int32_t)i)] += 1;
+    std::unordered_map<int32_t, int32_t> remap;
+    int32_t next_id = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t r = find((int32_t)i);
+        if (sizes[r] < min_points) { out_cluster[i] = -1; continue; }
+        auto it = remap.find(r);
+        if (it == remap.end()) { remap.emplace(r, next_id); out_cluster[i] = next_id++; }
+        else out_cluster[i] = it->second;
+    }
+    return next_id;
 }
 
 // Per-row majority vote over k neighbor labels; ignore_index never wins

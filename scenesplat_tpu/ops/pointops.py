@@ -1,0 +1,339 @@
+"""TPU-native point-query ops: kNN, ball query, FPS, grouping, interpolation.
+
+Replaces the reference CUDA ``pointops`` library
+(libs/pointops/functions/{query,sampling,grouping,interpolation}.py) with
+fixed-shape batched jnp formulations:
+
+- the reference addresses ragged scenes through ``offset``; here scenes are
+  padded to [B, N, ...] with bool masks, so batching is an explicit axis and
+  everything vmaps/jits with static shapes.
+- kNN / ball query are tiled brute-force searches: squared distances come from
+  one [T, N] matmul per query tile (MXU work, not scalar loops), followed by
+  ``lax.top_k``. The reference's per-query heap (knn_query_cuda_kernel.cu) is a
+  GPU-thread idiom with no TPU analogue; at PTv2/PTv1 scene sizes (pooled
+  clouds), the matmul formulation is the fast path on TPU.
+- FPS is the standard O(M*N) iterate (sampling_cuda_kernel.cu semantics),
+  vectorized over the batch inside one ``lax.fori_loop``.
+- invalid neighbor slots carry index -1, matching the reference convention
+  consumed by ``torch.sign(reference_index + 1)`` masking
+  (point_transformer_v2m2_base.py:123).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .serialization import serialize, take_along_points
+from .segops import PoolingPlan, build_pooling_plan
+
+_BIG = 1e10
+
+
+def _pairwise_sqdist(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Squared distances [.., T, N] between q [.., T, 3] and x [.., N, 3].
+
+    Expansion form: one matmul rides the MXU; the self-norm terms are cheap.
+    """
+    q = q.astype(jnp.float32)
+    x = x.astype(jnp.float32)
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)  # [.., T, 1]
+    xx = jnp.sum(x * x, axis=-1)[..., None, :]  # [.., 1, N]
+    cross = jnp.einsum("...tc,...nc->...tn", q, x)
+    return jnp.maximum(qq + xx - 2.0 * cross, 0.0)
+
+
+def _tile_count(m: int, tile: int) -> Tuple[int, int]:
+    tile = min(tile, m)
+    n_tiles = -(-m // tile)
+    return tile, n_tiles
+
+
+def knn(
+    coord: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    query: Optional[jnp.ndarray] = None,
+    query_mask: Optional[jnp.ndarray] = None,
+    tile: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched k-nearest-neighbors (reference pointops.knn_query,
+    libs/pointops/functions/query.py:7-24).
+
+    coord [B, N, 3], mask [B, N]; query defaults to coord.
+    Returns (idx [B, M, K] int32 with -1 for invalid slots,
+             dist [B, M, K] float32 — true distances, like the reference).
+    """
+    if query is None:
+        query, query_mask = coord, mask
+    if query_mask is None:
+        query_mask = jnp.ones(query.shape[:2], bool)
+    b, n = coord.shape[:2]
+    m = query.shape[1]
+    tile_m, n_tiles = _tile_count(m, tile)
+    pad = tile_m * n_tiles - m
+    qpad = jnp.pad(query, ((0, 0), (0, pad), (0, 0)))
+    qtiles = qpad.reshape(b, n_tiles, tile_m, 3).swapaxes(0, 1)
+
+    key_invalid = jnp.where(mask, 0.0, _BIG)[:, None, :]  # [B, 1, N]
+    kk = min(k, n)  # scenes smaller than k pad the trailing slots with -1
+
+    def step(_, qt):  # qt: [B, T, 3]
+        d2 = _pairwise_sqdist(qt, coord) + key_invalid
+        neg, idx = jax.lax.top_k(-d2, kk)  # [B, T, K]
+        return None, (idx.astype(jnp.int32), -neg)
+
+    _, (idx, d2) = jax.lax.scan(step, None, qtiles)
+    idx = idx.swapaxes(0, 1).reshape(b, tile_m * n_tiles, kk)[:, :m]
+    d2 = d2.swapaxes(0, 1).reshape(b, tile_m * n_tiles, kk)[:, :m]
+    if kk < k:
+        pad_k = ((0, 0), (0, 0), (0, k - kk))
+        idx = jnp.pad(idx, pad_k, constant_values=0)
+        d2 = jnp.pad(d2, pad_k, constant_values=_BIG)
+    valid = (d2 < _BIG / 2) & query_mask[..., None]
+    idx = jnp.where(valid, idx, -1)
+    dist = jnp.sqrt(jnp.where(valid, d2, _BIG))
+    return idx, dist
+
+
+def _priority_ball_query(
+    coord: jnp.ndarray,
+    mask: jnp.ndarray,
+    nsample: int,
+    max_radius: float,
+    min_radius: float,
+    priority: jnp.ndarray,
+    query: Optional[jnp.ndarray],
+    query_mask: Optional[jnp.ndarray],
+    tile: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if query is None:
+        query, query_mask = coord, mask
+    if query_mask is None:
+        query_mask = jnp.ones(query.shape[:2], bool)
+    b, n = coord.shape[:2]
+    m = query.shape[1]
+    tile_m, n_tiles = _tile_count(m, tile)
+    pad = tile_m * n_tiles - m
+    qpad = jnp.pad(query, ((0, 0), (0, pad), (0, 0)))
+    qtiles = qpad.reshape(b, n_tiles, tile_m, 3).swapaxes(0, 1)
+    lo2, hi2 = min_radius * min_radius, max_radius * max_radius
+    prio = jnp.where(mask, priority, -_BIG)[:, None, :]  # [B, 1, N]
+
+    ns = min(nsample, n)
+
+    def step(_, qt):
+        d2 = _pairwise_sqdist(qt, coord)
+        in_band = (d2 >= lo2) & (d2 <= hi2)
+        score = jnp.where(in_band, prio, -_BIG)
+        top, idx = jax.lax.top_k(score, ns)
+        found = top > -_BIG / 2
+        return None, (idx.astype(jnp.int32), found, jnp.take_along_axis(d2, idx, axis=-1))
+
+    _, (idx, found, d2) = jax.lax.scan(step, None, qtiles)
+    idx = idx.swapaxes(0, 1).reshape(b, -1, ns)[:, :m]
+    found = found.swapaxes(0, 1).reshape(b, -1, ns)[:, :m]
+    d2 = d2.swapaxes(0, 1).reshape(b, -1, ns)[:, :m]
+    if ns < nsample:
+        pad_k = ((0, 0), (0, 0), (0, nsample - ns))
+        idx = jnp.pad(idx, pad_k, constant_values=0)
+        found = jnp.pad(found, pad_k, constant_values=False)
+        d2 = jnp.pad(d2, pad_k, constant_values=_BIG)
+    found = found & query_mask[..., None]
+    # reference CUDA fills unfound slots with the first found neighbor
+    first = idx[..., :1]
+    idx = jnp.where(found, idx, jnp.where(found[..., :1], first, -1))
+    d2 = jnp.where(found, d2, jnp.where(found[..., :1], d2[..., :1], _BIG))
+    return idx, d2
+
+
+def ball_query(
+    coord: jnp.ndarray,
+    mask: jnp.ndarray,
+    nsample: int,
+    max_radius: float,
+    min_radius: float = 0.0,
+    query: Optional[jnp.ndarray] = None,
+    query_mask: Optional[jnp.ndarray] = None,
+    tile: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Radius query keeping the lowest-index nsample points in [min, max]
+    radius (reference pointops.ball_query, query.py:70-113). Returns
+    (idx [B, M, S] int32, dist2 [B, M, S])."""
+    n = coord.shape[1]
+    prio = -jax.lax.broadcasted_iota(jnp.float32, coord.shape[:2], 1)
+    return _priority_ball_query(
+        coord, mask, nsample, max_radius, min_radius, prio, query, query_mask, tile
+    )
+
+
+def random_ball_query(
+    rng: jax.Array,
+    coord: jnp.ndarray,
+    mask: jnp.ndarray,
+    nsample: int,
+    max_radius: float,
+    min_radius: float = 0.0,
+    query: Optional[jnp.ndarray] = None,
+    query_mask: Optional[jnp.ndarray] = None,
+    tile: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ball query sampling random in-ball points (reference
+    pointops.random_ball_query, query.py:27-67): neighbor priority is a random
+    permutation instead of index order."""
+    prio = jax.random.uniform(rng, coord.shape[:2])
+    return _priority_ball_query(
+        coord, mask, nsample, max_radius, min_radius, prio, query, query_mask, tile
+    )
+
+
+def farthest_point_sampling(
+    coord: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_samples: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched FPS (reference pointops.farthest_point_sampling,
+    libs/pointops/src/sampling/sampling_cuda_kernel.cu semantics: start from
+    the segment's first point, greedily take the point maximizing distance to
+    the selected set).
+
+    Returns (idx [B, M] int32, sample_mask [B, M] bool) where sample_mask
+    marks samples i < min(M, n_valid_points).
+    """
+    b, n = coord.shape[:2]
+    c32 = coord.astype(jnp.float32)
+    valid = mask
+    # first valid index per scene
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    first = jnp.min(jnp.where(valid, iota, n - 1), axis=1)
+
+    def body(i, state):
+        dists, idx_buf = state
+        last = idx_buf[:, i]  # [B]
+        last_xyz = take_along_points(c32, last[:, None])[:, 0]  # [B, 3]
+        d2 = jnp.sum((c32 - last_xyz[:, None, :]) ** 2, axis=-1)
+        dists = jnp.minimum(dists, jnp.where(valid, d2, -_BIG))
+        nxt = jnp.argmax(dists, axis=1).astype(jnp.int32)
+        idx_buf = idx_buf.at[:, i + 1].set(nxt)
+        return dists, idx_buf
+
+    dists0 = jnp.where(valid, _BIG, -_BIG)
+    idx_buf = jnp.zeros((b, num_samples), jnp.int32).at[:, 0].set(first)
+    if num_samples > 1:
+        _, idx_buf = jax.lax.fori_loop(0, num_samples - 1, body, (dists0, idx_buf))
+    n_valid = jnp.sum(valid, axis=1).astype(jnp.int32)
+    sample_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, num_samples), 1) < jnp.minimum(n_valid, num_samples)[:, None]
+    )
+    return idx_buf, sample_mask
+
+
+def grouping(
+    idx: jnp.ndarray,
+    feat: jnp.ndarray,
+    coord: jnp.ndarray,
+    query_coord: Optional[jnp.ndarray] = None,
+    with_xyz: bool = False,
+) -> jnp.ndarray:
+    """Gather neighbor features (reference pointops.grouping,
+    libs/pointops/functions/grouping.py:36-61).
+
+    idx [B, M, K] (-1 = invalid), feat [B, N, C], coord [B, N, 3].
+    Returns [B, M, K, C(+3)]; with_xyz prepends (neighbor_xyz - query_xyz).
+    Invalid slots are zeroed (grouping.py:56-59 masking).
+    """
+    b, m, k = idx.shape
+    safe = jnp.maximum(idx, 0).reshape(b, m * k)
+    g = take_along_points(feat, safe).reshape(b, m, k, feat.shape[-1])
+    ok = (idx >= 0)[..., None]
+    if with_xyz:
+        if query_coord is None:
+            query_coord = coord[:, :m]
+        gx = take_along_points(coord, safe).reshape(b, m, k, 3)
+        rel = gx - query_coord[:, :, None, :]
+        g = jnp.concatenate([rel.astype(g.dtype), g], axis=-1)
+    return jnp.where(ok, g, 0.0).astype(feat.dtype)
+
+
+def interpolation(
+    coord_src: jnp.ndarray,
+    mask_src: jnp.ndarray,
+    coord_dst: jnp.ndarray,
+    mask_dst: jnp.ndarray,
+    feat_src: jnp.ndarray,
+    k: int = 3,
+    tile: int = 512,
+) -> jnp.ndarray:
+    """Inverse-distance-weighted k-NN interpolation from src points onto dst
+    points (reference pointops.interpolation,
+    libs/pointops/functions/interpolation.py:8-23). Returns [B, M, C]."""
+    idx, dist = knn(coord_src, mask_src, k, query=coord_dst, query_mask=mask_dst, tile=tile)
+    ok = idx >= 0
+    recip = jnp.where(ok, 1.0 / (dist + 1e-8), 0.0)
+    w = recip / jnp.maximum(jnp.sum(recip, axis=-1, keepdims=True), 1e-12)
+    b, m, kk = idx.shape
+    g = take_along_points(feat_src, jnp.maximum(idx, 0).reshape(b, m * kk))
+    g = g.reshape(b, m, kk, feat_src.shape[-1])
+    out = jnp.sum(g * w[..., None].astype(g.dtype), axis=2)
+    return jnp.where(mask_dst[..., None], out, 0.0).astype(feat_src.dtype)
+
+
+def subtraction(query: jnp.ndarray, key_grouped: jnp.ndarray) -> jnp.ndarray:
+    """Vector-attention relation q-k per neighbor (reference
+    pointops.subtraction, libs/pointops/src/subtraction): [B,M,C], [B,M,K,C]
+    -> [B,M,K,C]."""
+    return query[:, :, None, :] - key_grouped
+
+
+def aggregation(
+    value_grouped: jnp.ndarray, weight: jnp.ndarray, groups: int
+) -> jnp.ndarray:
+    """Grouped weighted neighbor aggregation (reference pointops.aggregation,
+    libs/pointops/src/aggregation): value [B,M,K,C], weight [B,M,K,G]
+    -> [B,M,C] with C split into G groups sharing a weight lane."""
+    b, m, k, c = value_grouped.shape
+    v = value_grouped.reshape(b, m, k, groups, c // groups)
+    out = jnp.einsum("bmkgi,bmkg->bmgi", v, weight.astype(v.dtype))
+    return out.reshape(b, m, c)
+
+
+def attention_relation_step(
+    query: jnp.ndarray, key_grouped: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-edge channel-weighted q.k relation (reference
+    pointops.attention_relation_step, functions/attention.py:12-64:
+    relation[e,g] = sum_c q[tgt_e,g,c]*k[ref_e,g,c]*w[c]). Edges here are the
+    padded neighbor slots: query [B,M,G,C], key_grouped [B,M,K,G,C],
+    weight [C] -> [B,M,K,G]."""
+    return jnp.einsum("bmgc,bmkgc,c->bmkg", query, key_grouped, weight.astype(query.dtype))
+
+
+def attention_fusion_step(
+    weight: jnp.ndarray, value_grouped: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-edge weighted value scatter-accumulate onto targets (reference
+    pointops.attention_fusion_step, functions/attention.py:67-120). With
+    neighbor-slot edges the scatter over shared targets is the K-sum:
+    weight [B,M,K,G], value_grouped [B,M,K,G,C] -> [B,M,G,C]."""
+    return jnp.einsum("bmkg,bmkgc->bmgc", weight.astype(value_grouped.dtype), value_grouped)
+
+
+def grid_cluster_plan(
+    coord: jnp.ndarray,
+    mask: jnp.ndarray,
+    grid_size: float,
+    out_capacity: int,
+) -> PoolingPlan:
+    """Voxel-grid clustering (reference torch_geometric.voxel_grid +
+    torch.unique as used by PTv2 GridPool,
+    point_transformer_v2m2_base.py:227-245): quantize coords per scene, build
+    the fixed-capacity cluster plan off sorted z-codes (no dynamic unique)."""
+    big = jnp.asarray(_BIG, coord.dtype)
+    masked = jnp.where(mask[..., None], coord, big)
+    start = jnp.min(masked, axis=1, keepdims=True)
+    gc = jnp.floor((coord - start) / grid_size).astype(jnp.int32)
+    gc = jnp.where(mask[..., None], jnp.maximum(gc, 0), 0)
+    ser = serialize(gc, mask, orders=("z",), depth=16)
+    return build_pooling_plan(ser, mask, out_capacity, pooling_depth=0)
