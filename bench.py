@@ -7,6 +7,12 @@ VL config, in_channels=11, 4 curves, patch 1024) eval forward on a single
 chip. The reference publishes no throughput numbers (BASELINE.md); the
 normalization target is 1e6 Gaussians/sec/chip, the "A100-class encoder
 forward" north star from BASELINE.md, so vs_baseline = value / 1e6.
+
+The forward is split into two jitted programs (geometry: serialization +
+conv/pooling plans, int-only; network: the parameterized compute) — each
+fits the tunneled compile-helper's memory cap, unlocking N >= 64k that the
+single-program compile could not reach (CLAUDE.md round-1 notes). Timing
+covers BOTH programs, as a training step would.
 """
 
 from __future__ import annotations
@@ -39,27 +45,39 @@ def main(n_points: int = 131072, batch: int = 1, iters: int = 10, warmup: int = 
         grid_coord=jnp.asarray(grid_coord),
         mask=jnp.asarray(mask),
     )
+
+    from scenesplat_tpu.models.ptv3 import PointTransformerV3
+
+    bb_module = PointTransformerV3(
+        **{k: v for k, v in backbone.items() if k != "type"}
+    )
+    geom_fn = jax.jit(bb_module.build_geometry)
+    geom = geom_fn(point)
+    jax.block_until_ready(geom)
+
     variables = jax.jit(
-        lambda p: model.init(
+        lambda p, g: model.init(
             {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
             p,
             train=False,
+            geometry=g,
         )
-    )(point)
+    )(point, geom)
 
     @jax.jit
-    def fwd(v, p):
-        return model.apply(v, p, train=False).feat
+    def fwd(v, p, g):
+        return model.apply(v, p, train=False, geometry=g).feat
 
-    out = fwd(variables, point)
+    out = fwd(variables, point, geom)
     out.block_until_ready()
     for _ in range(warmup - 1):
-        fwd(variables, point).block_until_ready()
+        jax.block_until_ready(fwd(variables, point, geom_fn(point)))
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        fwd(variables, point).block_until_ready()
+        g = geom_fn(point)
+        fwd(variables, point, g).block_until_ready()
         times.append(time.perf_counter() - t0)
 
     dt = float(np.median(times))
@@ -82,10 +100,10 @@ if __name__ == "__main__":
     if len(sys.argv) > 1:
         main(n_points=int(sys.argv[1]))
     else:
-        # the tunneled compile helper on this host has a hard memory cap and
-        # very slow large-N sort compiles; 32k is the largest size that
-        # compiles reliably (see CLAUDE.md), with a fallback
-        for n in (32768, 16384):
+        # the tunneled compile helper has a hard memory cap; the split
+        # geometry/network programs compile at larger N than the fused
+        # forward could (CLAUDE.md), but keep the resilient ladder
+        for n in (131072, 65536, 32768, 16384):
             try:
                 main(n_points=n)
                 break

@@ -141,6 +141,48 @@ def collate_padded(
     return batch
 
 
+def collate_two_view(
+    samples: List[Dict[str, np.ndarray]],
+    view_points: int,
+) -> Dict[str, np.ndarray]:
+    """Collate MSC two-view samples (keys prefixed view1_/view2_ from
+    ContrastiveViewsGenerator) into fixed-shape per-view buffers + masks.
+
+    ``origin_coord`` is per-point here (pre-augmentation coords used for
+    cross-mask generation and pair matching) and is padded like coord."""
+    batch: Dict[str, np.ndarray] = {}
+    for prefix in ("view1", "view2"):
+        subs = []
+        for s in samples:
+            sub = {}
+            for k, v in s.items():
+                if not k.startswith(prefix + "_"):
+                    continue
+                key = k[len(prefix) + 1:]
+                if key == "origin_coord":
+                    key = "ocoord"  # sidestep pad_sample's origin_* passthrough
+                sub[key] = v
+            assert "coord" in sub, f"missing {prefix}_coord in sample"
+            subs.append(pad_sample(sub, view_points))
+        keys = set(subs[0])
+        for p in subs[1:]:
+            keys &= set(p)
+        for key in keys:
+            vals = [p[key] for p in subs]
+            if not isinstance(vals[0], np.ndarray):
+                continue
+            if vals[0].shape[:1] != (view_points,) and key != "mask":
+                continue
+            arr = np.stack(vals)
+            if key in INT_KEYS:
+                arr = arr.astype(np.int32)
+            elif arr.dtype != bool and np.issubdtype(arr.dtype, np.floating):
+                arr = arr.astype(np.float32)
+            out_key = "origin_coord" if key == "ocoord" else key
+            batch[f"{prefix}_{out_key}"] = arr
+    return batch
+
+
 def collate_ssl(
     samples: List[Dict[str, np.ndarray]],
     global_points: int,

@@ -825,6 +825,31 @@ class GridSample:
 
 
 @TRANSFORMS.register_module()
+class ContrastiveViewsGenerator:
+    """Two-view generation for MSC-style contrastive pretraining
+    (reference transform.py:1596-1618): the same transform stack applied to
+    two copies, outputs prefixed view1_/view2_."""
+
+    def __init__(
+        self,
+        view_keys=("coord", "color", "normal", "origin_coord"),
+        view_trans_cfg=None,
+    ):
+        self.view_keys = view_keys
+        self.view_trans = Compose(view_trans_cfg)
+
+    def __call__(self, data_dict):
+        for prefix in ("view1_", "view2_"):
+            view = {
+                k: np.copy(data_dict[k]) for k in self.view_keys if k in data_dict
+            }
+            view = self.view_trans(view)
+            for key, value in view.items():
+                data_dict[prefix + key] = value
+        return data_dict
+
+
+@TRANSFORMS.register_module()
 class ContrastiveViewsGenerator_SSL:
     """Multi-crop view generation for SimDINO pretraining
     (reference transform.py:260-315): a shared global base transform feeds

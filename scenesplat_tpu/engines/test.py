@@ -244,7 +244,126 @@ class SemSegTester(TesterBase):
         return {"mIoU": miou, "iou_per_class": iou}
 
 
-def _write_submission(save_path, name, pred, dataset_type, class2id=None):
+@TESTERS.register_module()
+class ClsVotingTester(TesterBase):
+    """Repeated-augmentation voting for classification (reference
+    test.py:1040-1154): each repeat re-samples the dataset's stochastic test
+    augmentations (or a sample-provided ``voting_list``), softmax
+    probabilities accumulate per scene, and the best repeat's record wins."""
+
+    def __init__(self, num_classes: int, num_repeat: int = 100,
+                 metric: str = "allAcc", max_scenes: Optional[int] = None,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.num_classes = num_classes
+        self.num_repeat = num_repeat
+        self.metric = metric
+        self.max_scenes = max_scenes
+
+    def _scene_prob(self, sample):
+        def prob_of(s):
+            logits = self.extractor(self.variables, s)
+            if logits.ndim == 2 and logits.shape[0] > 1:
+                logits = logits.mean(axis=0)
+            logits = logits - logits.max()
+            e = np.exp(logits)
+            return e / e.sum()
+
+        if "voting_list" in sample:
+            return np.sum([prob_of(s) for s in sample["voting_list"]], axis=0)
+        return prob_of(sample)
+
+    def test(self):
+        n = len(self.dataset)
+        if self.max_scenes:
+            n = min(n, self.max_scenes)
+        prob_acc = {}
+        targets = {}
+        best = {self.metric: -1.0}
+        for rep in range(self.num_repeat):
+            inter = np.zeros(self.num_classes)
+            target = np.zeros(self.num_classes)
+            for i in range(n):
+                sample = self.dataset[i]
+                p = self._scene_prob(sample)
+                prob_acc[i] = prob_acc.get(i, 0) + p
+                targets[i] = int(np.asarray(sample["category"]).reshape(-1)[0])
+                pred = int(np.argmax(prob_acc[i]))
+                label = targets[i]
+                if 0 <= label < self.num_classes:
+                    target[label] += 1
+                    if pred == label:
+                        inter[label] += 1
+            acc_cls = inter / np.maximum(target, 1e-10)
+            record = {
+                "allAcc": float(inter.sum() / max(target.sum(), 1e-10)),
+                "mAcc": float(acc_cls[target > 0].mean()) if (target > 0).any() else 0.0,
+            }
+            if record[self.metric] > best[self.metric]:
+                best = record
+            self.logger.info(
+                f"vote {rep + 1}/{self.num_repeat}: "
+                f"allAcc {record['allAcc']:.4f} mAcc {record['mAcc']:.4f} "
+                f"(best {self.metric} {best[self.metric]:.4f})"
+            )
+        return best
+
+
+@TESTERS.register_module()
+class PartSegTester(TesterBase):
+    """Part segmentation tester (reference test.py:1157-1250; its
+    ``pred_part.total`` crash at l.1197 is fixed to ``sum``). The dataset
+    must expose ``categories`` and ``category2part`` and yield samples with
+    ``cls_token``/``segment``; TTA variants come from ``voting_list``."""
+
+    def __init__(self, num_classes: int, max_scenes: Optional[int] = None,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.num_classes = num_classes
+        self.max_scenes = max_scenes
+
+    def test(self):
+        ds = self.dataset
+        categories = list(ds.categories)
+        category2part = dict(ds.category2part)
+        iou_category = np.zeros(len(categories))
+        iou_count = np.zeros(len(categories))
+        n = len(ds)
+        if self.max_scenes:
+            n = min(n, self.max_scenes)
+        for i in range(n):
+            sample = ds[i]
+            label = np.asarray(sample["segment"]).reshape(-1)
+            variants = sample.get("voting_list", [sample])
+            prob = np.zeros((label.shape[0], self.num_classes), np.float32)
+            for v in variants:
+                logits = self.extractor(self.variables, v)
+                logits = logits - logits.max(-1, keepdims=True)
+                e = np.exp(logits)
+                prob += e / e.sum(-1, keepdims=True)
+            pred = prob.argmax(-1)
+            cat_idx = int(np.asarray(sample["cls_token"]).reshape(-1)[0])
+            parts = category2part[categories[cat_idx]]
+            parts_iou = np.zeros(len(parts))
+            for j, part in enumerate(parts):
+                if (label == part).sum() == 0 and (pred == part).sum() == 0:
+                    parts_iou[j] = 1.0
+                else:
+                    inter = ((label == part) & (pred == part)).sum()
+                    union = ((label == part) | (pred == part)).sum()
+                    parts_iou[j] = inter / (union + 1e-10)
+            iou_category[cat_idx] += parts_iou.mean()
+            iou_count[cat_idx] += 1
+        ins_miou = iou_category.sum() / (iou_count.sum() + 1e-10)
+        cat_miou = float((iou_category / (iou_count + 1e-10)).mean())
+        self.logger.info(
+            f"part seg ins.mIoU/cat.mIoU {ins_miou:.4f}/{cat_miou:.4f}"
+        )
+        return {"ins_mIoU": float(ins_miou), "cat_mIoU": cat_miou}
+
+
+def _write_submission(save_path, name, pred, dataset_type, class2id=None,
+                      learning_map_inv=None):
     """Benchmark submission writers (reference test.py:396-465)."""
     submit_dir = os.path.join(save_path, "submit")
     os.makedirs(submit_dir, exist_ok=True)
@@ -254,6 +373,24 @@ def _write_submission(save_path, name, pred, dataset_type, class2id=None):
                    mapped.reshape(-1, 1), fmt="%d")
     elif dataset_type == "KITTI360GSDataset":
         pred.astype(np.uint32).tofile(os.path.join(submit_dir, f"{name}.label"))
+    elif dataset_type == "SemanticKITTIDataset":
+        # sequences/<seq>/predictions/<frame>.label with inverse label map
+        # (reference test.py:430-455)
+        seq, frame = name.split("_")
+        d = os.path.join(submit_dir, "sequences", seq, "predictions")
+        os.makedirs(d, exist_ok=True)
+        out = pred.astype(np.uint32)
+        if learning_map_inv is not None:
+            out = np.vectorize(learning_map_inv.__getitem__)(out).astype(np.uint32)
+        out.tofile(os.path.join(d, f"{frame}.label"))
+    elif dataset_type == "NuScenesDataset":
+        # lidarseg/test/<name>_lidarseg.bin, classes 1-based uint8
+        # (reference test.py:456-465)
+        d = os.path.join(submit_dir, "lidarseg", "test")
+        os.makedirs(d, exist_ok=True)
+        (pred.astype(np.int64) + 1).astype(np.uint8).tofile(
+            os.path.join(d, f"{name}_lidarseg.bin")
+        )
     else:  # ScanNet++ / Matterport3D / HoliCity: raw int labels
         np.savetxt(os.path.join(submit_dir, f"{name}.txt"),
                    pred.astype(np.int32), delimiter=",", fmt="%d")

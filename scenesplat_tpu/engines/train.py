@@ -12,6 +12,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from scenesplat_tpu.data import (
@@ -89,6 +90,10 @@ class Trainer(TrainerBase):
         "LangPretrainer": "lang",
         "DefaultSegmentorV2": "semseg",
         "PG-v1m1": "insseg",
+        "MSC-v1m1": "msc",
+        "PPT-v1m1": "ppt",
+        "PPT-v1m2": "ppt",
+        "CAC-v1m1": "cac",
     }
 
     def __init__(self, cfg):
@@ -161,9 +166,16 @@ class Trainer(TrainerBase):
         return build_model(model_cfg)
 
     def _init_state(self, example_batch, tx0):
+        # MSC consumes the raw two-view batch dict; point tasks a PointBatch
+        example = (
+            _to_jnp(example_batch)
+            if self.task == "msc"
+            else point_from_batch(_to_jnp(example_batch))
+        )
+        extra = (jnp.zeros((), jnp.int32),) if self.task == "ppt" else ()
         return create_train_state(
-            self.model, tx0, point_from_batch(_to_jnp(example_batch)),
-            seed=self.cfg.get("seed", 0),
+            self.model, tx0, example, seed=self.cfg.get("seed", 0),
+            extra_args=extra,
         )
 
     def _make_step(self):
@@ -172,6 +184,12 @@ class Trainer(TrainerBase):
     # ---- data ----------------------------------------------------------
     def build_train_loader(self):
         dataset = build_dataset(dict(self.cfg.data.train))
+        collate_fn = None
+        if self.task == "msc":
+            from scenesplat_tpu.data.collate import collate_two_view
+
+            view_points = self.cfg.data.get("num_points", 65536)
+            collate_fn = lambda samples: collate_two_view(samples, view_points)  # noqa: E731
         return Loader(
             dataset,
             batch_size=self.cfg.get("batch_size", 1),
@@ -179,6 +197,7 @@ class Trainer(TrainerBase):
             mix_prob=self.cfg.get("mix_prob", 0.0),
             seed=self.cfg.get("seed", 0),
             num_workers=self.cfg.get("num_worker", 4),
+            collate_fn=collate_fn,
         )
 
     # ---- loop ------------------------------------------------------------

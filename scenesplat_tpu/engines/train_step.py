@@ -32,13 +32,14 @@ def create_train_state(
     tx: optax.GradientTransformation,
     example_point: PointBatch,
     seed: int = 0,
+    extra_args: tuple = (),
 ) -> TrainState:
     rng = jax.random.PRNGKey(seed)
     init_rngs = {
         "params": jax.random.fold_in(rng, 0),
         "shuffle": jax.random.fold_in(rng, 1),
     }
-    variables = model.init(init_rngs, example_point, train=False)
+    variables = model.init(init_rngs, example_point, *extra_args, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -73,7 +74,49 @@ def make_train_step(
     """
 
     def loss_fn(params, batch_stats, batch, rngs, loss_rng):
+        if task == "msc":
+            # MSC consumes the raw two-view batch dict (views are padded
+            # [B, N, ...] buffers) and returns its loss dict in-model,
+            # mirroring the reference (masked_scene_contrast_v1m1_base.py).
+            out, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                train=True,
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            return out["loss"], updates["batch_stats"]
         point = point_from_batch(batch)
+        if task == "cac":
+            # CAC computes its four-term loss in-model (reference
+            # context_aware_classifier_v1m1_base.py:203-246)
+            out, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                point,
+                train=True,
+                segment=batch["segment"],
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            return out["loss"], updates["batch_stats"]
+        if task == "ppt":
+            # PPT passes the per-batch dataset condition to PDNorm-conditioned
+            # backbones (reference point_prompt_training_v1m1:133-140)
+            # one condition per batch (reference asserts this, ppt v1m1:134);
+            # collate may deliver it as a [B] array — take element 0
+            cond = jnp.asarray(
+                batch.get("condition_index", 0), jnp.int32
+            ).reshape(-1)[0]
+            out, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                point,
+                cond,
+                train=True,
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            loss = criteria(out.feat, batch["segment"], mask=out.mask)
+            return loss, updates["batch_stats"]
         out, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             point,

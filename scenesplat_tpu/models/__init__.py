@@ -6,6 +6,13 @@ from . import spunet  # noqa: F401 (registers SpUNet variants)
 from . import mink_unet  # noqa: F401 (registers MinkUNet variants)
 from . import ptv1  # noqa: F401 (registers PointTransformer Seg/Cls)
 from . import point_group  # noqa: F401 (registers PG-v1m1)
+from . import msc  # noqa: F401 (registers MSC-v1m1)
+from . import ppt  # noqa: F401 (registers PPT-v1m1/v1m2)
+from . import cac  # noqa: F401 (registers CAC-v1m1)
+from . import oacnns  # noqa: F401 (registers OACNNs)
+from . import spvcnn  # noqa: F401 (registers SPVCNN)
+from . import octformer  # noqa: F401 (registers OctFormer-v1m1)
+from . import stratified  # noqa: F401 (registers ST-v1m1/v1m2)
 from . import default  # noqa: F401 (registers task heads)
 from .losses.builder import LOSSES, build_criteria
 from .losses import misc as _losses_misc  # noqa: F401

@@ -35,8 +35,12 @@ class LangPretrainer(nn.Module):
     def setup(self):
         self.backbone_module = build_model(dict(self.backbone))
 
-    def __call__(self, point: PointBatch, train: bool = False) -> PointBatch:
-        out = self.backbone_module(point, train=train)
+    def __call__(self, point: PointBatch, train: bool = False,
+                 geometry=None) -> PointBatch:
+        if geometry is not None:
+            out = self.backbone_module(point, train=train, geometry=geometry)
+        else:
+            out = self.backbone_module(point, train=train)
         return out.replace(feat=_l2_normalize(out.feat, axis=-1))
 
 

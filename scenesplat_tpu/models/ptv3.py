@@ -45,7 +45,7 @@ from scenesplat_tpu.ops.subm_conv import (
 )
 from scenesplat_tpu.ops.window_attention import window_attention
 from .builder import MODELS
-from .norm import LayerNorm, MaskedBatchNorm
+from .norm import LayerNorm, MaskedBatchNorm, PDNorm
 from .structure import PointBatch
 
 
@@ -57,6 +57,45 @@ class StageState(NamedTuple):
     mask: jnp.ndarray
     ser: Serialization
     conv_plan: SubMConvPlan
+
+
+class PDCfg(NamedTuple):
+    """PDNorm conditioning config threaded through PTv3 (reference pdnorm_*
+    flags, point_transformer_v3m1_base.py:518-636 + PPT)."""
+
+    conditions: Tuple[str, ...]
+    bn: bool = True
+    ln: bool = True
+    decouple: bool = True
+    adaptive: bool = False
+    context_channels: int = 256
+
+
+def _cond_ln(features, dtype, name, pd: Optional[PDCfg]):
+    """LayerNorm or prompt-driven LayerNorm factory; returns apply(x, cond)."""
+    if pd is None or not pd.ln:
+        mod = LayerNorm(features, dtype=dtype, name=name)
+        return lambda x, cond: mod(x)
+    mod = PDNorm(
+        features=features, conditions=pd.conditions, norm_type="ln",
+        decouple=pd.decouple, adaptive=pd.adaptive,
+        context_channels=pd.context_channels, dtype=dtype, name=name,
+    )
+    return lambda x, cond: mod(x, cond[0], context=cond[1])
+
+
+def _cond_bn(features, dtype, name, pd: Optional[PDCfg]):
+    """MaskedBatchNorm or prompt-driven BN factory; apply(x, mask, ra, cond)."""
+    if pd is None or not pd.bn:
+        mod = MaskedBatchNorm(features, dtype=dtype, name=name)
+        return lambda x, mask, ra, cond: mod(x, mask, use_running_average=ra)
+    mod = PDNorm(
+        features=features, conditions=pd.conditions, norm_type="bn",
+        decouple=pd.decouple, adaptive=pd.adaptive,
+        context_channels=pd.context_channels, dtype=dtype, name=name,
+    )
+    return lambda x, mask, ra, cond: mod(
+        x, cond[0], mask=mask, context=cond[1], use_running_average=ra)
 
 
 def _gelu(x):
@@ -138,6 +177,7 @@ class SerializedAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     upcast_softmax: bool = True
+    enable_rpe: bool = False
     use_pallas: Optional[bool] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -155,14 +195,30 @@ class SerializedAttention(nn.Module):
         valid_sorted = take_along_points(
             state.mask.astype(jnp.int32), order
         ).astype(bool)
-        out_sorted = window_attention(
-            qkv_sorted,
-            valid_sorted,
-            patch_size=self.patch_size,
-            num_heads=h,
-            scale=scale,
-            use_pallas=self.use_pallas,
-        )
+        if self.enable_rpe:
+            # dense path with the relative-position bias table (reference
+            # RPE l.29-48; forced non-flash like the reference enable_rpe)
+            from scenesplat_tpu.ops.window_attention import window_attention_rpe
+
+            pos_bnd = int((4 * self.patch_size) ** (1 / 3) * 2)
+            rpe_table = self.param(
+                "rpe_table", nn.initializers.truncated_normal(0.02),
+                (3 * (2 * pos_bnd + 1), h), jnp.float32,
+            )
+            grid_sorted = take_along_points(state.grid_coord, order)
+            out_sorted = window_attention_rpe(
+                qkv_sorted, valid_sorted, grid_sorted, rpe_table,
+                patch_size=self.patch_size, num_heads=h, scale=scale,
+            )
+        else:
+            out_sorted = window_attention(
+                qkv_sorted,
+                valid_sorted,
+                patch_size=self.patch_size,
+                num_heads=h,
+                scale=scale,
+                use_pallas=self.use_pallas,
+            )
         out = take_along_points(out_sorted, inverse)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
@@ -184,12 +240,16 @@ class Block(nn.Module):
     pre_norm: bool = True
     order_index: int = 0
     upcast_softmax: bool = True
+    enable_rpe: bool = False
     use_pallas: Optional[bool] = None
+    pd: Optional[PDCfg] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, state: StageState, deterministic: bool):
+    def __call__(self, feat, state: StageState, deterministic: bool,
+                 cond=(None, None)):
         c = self.channels
+        ln = lambda name: _cond_ln(c, self.dtype, name, self.pd)  # noqa: E731
         # drop_path == per-point residual-branch dropout (timm DropPath on a
         # packed [N, C] buffer drops per point)
         droppath = nn.Dropout(
@@ -201,12 +261,12 @@ class Block(nn.Module):
         x = SubMConv(c, c, kernel_size=3, use_bias=True, dtype=self.dtype,
                      name="cpe_conv")(feat, state.conv_plan)
         x = nn.Dense(c, dtype=self.dtype, name="cpe_linear")(x)
-        x = LayerNorm(c, dtype=self.dtype, name="cpe_norm")(x)
+        x = ln("cpe_norm")(x, cond)
         feat = shortcut + x
 
         shortcut = feat
         if self.pre_norm:
-            feat = LayerNorm(c, dtype=self.dtype, name="norm1")(feat)
+            feat = ln("norm1")(feat, cond)
         feat = SerializedAttention(
             channels=c,
             num_heads=self.num_heads,
@@ -217,50 +277,67 @@ class Block(nn.Module):
             attn_drop=self.attn_drop,
             proj_drop=self.proj_drop,
             upcast_softmax=self.upcast_softmax,
+            enable_rpe=self.enable_rpe,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="attn",
         )(feat, state, deterministic)
         feat = shortcut + droppath(feat)
         if not self.pre_norm:
-            feat = LayerNorm(c, dtype=self.dtype, name="norm1")(feat)
+            feat = ln("norm1")(feat, cond)
 
         shortcut = feat
         if self.pre_norm:
-            feat = LayerNorm(c, dtype=self.dtype, name="norm2")(feat)
+            feat = ln("norm2")(feat, cond)
         feat = MLP(channels=c, mlp_ratio=self.mlp_ratio, drop=self.proj_drop,
                    dtype=self.dtype, name="mlp")(feat, deterministic)
         feat = shortcut + droppath(feat)
         if not self.pre_norm:
-            feat = LayerNorm(c, dtype=self.dtype, name="norm2")(feat)
+            feat = ln("norm2")(feat, cond)
         return feat
 
 
 class SerializedPooling(nn.Module):
-    """Grid pooling by right-shifted codes (reference l.341-444)."""
+    """Grid pooling by right-shifted codes (reference l.341-444).
+
+    With precomputed geometry (``plan`` + ``pooled_state``), only the
+    parameterized reduce path runs — the int-only cluster construction lives
+    in the separate geometry program (see build_ptv3_geometry)."""
 
     in_channels: int
     out_channels: int
     stride: int = 2
     reduce: str = "mean"
     packed: bool = False
+    pd: Optional[PDCfg] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat, state: StageState, out_capacity: int,
-                 deterministic: bool):
+                 deterministic: bool, plan: Optional[PoolingPlan] = None,
+                 pooled_state: Optional["StageState"] = None,
+                 cond=(None, None)):
         pooling_depth = (math.ceil(self.stride) - 1).bit_length()
-        plan = build_pooling_plan(
-            state.ser, state.mask, out_capacity, pooling_depth
-        )
+        if plan is None:
+            plan = build_pooling_plan(
+                state.ser, state.mask, out_capacity, pooling_depth
+            )
         x = nn.Dense(self.out_channels, dtype=self.dtype, name="proj")(feat)
         x = pool_values(plan, x, self.reduce)
-        coord = pool_values(plan, state.coord, "mean")
-        grid_coord = take_along_points(state.grid_coord, plan.head_index) >> pooling_depth
-        ser = pool_serialization(plan, state.ser, pooling_depth, packed=self.packed)
-        mask = plan.out_mask
-        x = MaskedBatchNorm(self.out_channels, dtype=self.dtype, name="norm")(
-            x, mask, use_running_average=deterministic
+        if pooled_state is None:
+            coord = pool_values(plan, state.coord, "mean")
+            grid_coord = (
+                take_along_points(state.grid_coord, plan.head_index)
+                >> pooling_depth
+            )
+            ser = pool_serialization(plan, state.ser, pooling_depth,
+                                     packed=self.packed)
+            mask = plan.out_mask
+        else:
+            coord, grid_coord = pooled_state.coord, pooled_state.grid_coord
+            ser, mask = pooled_state.ser, pooled_state.mask
+        x = _cond_bn(self.out_channels, self.dtype, "norm", self.pd)(
+            x, mask, deterministic, cond
         )
         x = _gelu(x)
         return x, coord, grid_coord, mask, ser, plan
@@ -272,20 +349,20 @@ class SerializedUnpooling(nn.Module):
     in_channels: int
     skip_channels: int
     out_channels: int
+    pd: Optional[PDCfg] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat, parent_feat, parent_mask, mask, plan: PoolingPlan,
-                 deterministic: bool):
+                 deterministic: bool, cond=(None, None)):
         x = nn.Dense(self.out_channels, dtype=self.dtype, name="proj")(feat)
-        x = MaskedBatchNorm(self.out_channels, dtype=self.dtype, name="proj_norm")(
-            x, mask, use_running_average=deterministic
+        x = _cond_bn(self.out_channels, self.dtype, "proj_norm", self.pd)(
+            x, mask, deterministic, cond
         )
         x = _gelu(x)
         skip = nn.Dense(self.out_channels, dtype=self.dtype, name="proj_skip")(parent_feat)
-        skip = MaskedBatchNorm(
-            self.out_channels, dtype=self.dtype, name="proj_skip_norm"
-        )(skip, parent_mask, use_running_average=deterministic)
+        skip = _cond_bn(self.out_channels, self.dtype, "proj_skip_norm", self.pd)(
+            skip, parent_mask, deterministic, cond)
         skip = _gelu(skip)
         return skip + unpool_values(x, plan.cluster_of_point)
 
@@ -295,16 +372,18 @@ class Embedding(nn.Module):
 
     in_channels: int
     embed_channels: int
+    pd: Optional[PDCfg] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, plan: SubMConvPlan, mask, deterministic: bool):
+    def __call__(self, feat, plan: SubMConvPlan, mask, deterministic: bool,
+                 cond=(None, None)):
         x = SubMConv(
             self.in_channels, self.embed_channels, kernel_size=5,
             use_bias=False, dtype=self.dtype, name="conv",
         )(feat, plan)
-        x = MaskedBatchNorm(self.embed_channels, dtype=self.dtype, name="norm")(
-            x, mask, use_running_average=deterministic
+        x = _cond_bn(self.embed_channels, self.dtype, "norm", self.pd)(
+            x, mask, deterministic, cond
         )
         return _gelu(x)
 
@@ -312,6 +391,78 @@ class Embedding(nn.Module):
 def _round_capacity(n: int, frac: float, patch: int) -> int:
     cap = max(patch, int(math.ceil(n * frac / patch)) * patch)
     return min(cap, max(patch, int(math.ceil(n / patch)) * patch))
+
+
+class PTv3Geometry(NamedTuple):
+    """All int-only geometry of a PTv3 forward: serialization, conv plans,
+    pooling plans, per-stage coords/masks. Computed by
+    ``build_ptv3_geometry`` — its own (gradient-free) jitted program, so the
+    network program's compile graph carries no sort networks. This halves
+    compile memory on the tunneled TPU toolchain (see CLAUDE.md) and skips
+    re-differentiating integer plumbing."""
+
+    point: PointBatch  # input point with serialization attached
+    stem_plan: SubMConvPlan
+    states: Tuple[StageState, ...]  # one per encoder stage
+    plans: Tuple[PoolingPlan, ...]  # one per pooling (num_stages - 1)
+
+
+def build_ptv3_geometry(
+    point: PointBatch,
+    *,
+    orders: Sequence[str],
+    depth: int = 16,
+    num_stages: int = 5,
+    strides: Sequence[int] = (2, 2, 2, 2),
+    capacities: Sequence[int] = (),
+    shuffle_rng: Optional[jax.Array] = None,
+    pool_reduce_needs_coord: bool = True,
+) -> PTv3Geometry:
+    """Mirror of PTv3's in-forward geometry construction (serialization,
+    stem k=5 plan + per-stage k=3 plans, pooling cluster plans)."""
+    if point.ser is None:
+        point = point.serialized(orders, depth=depth, shuffle_rng=shuffle_rng)
+    z_idx = orders.index("z") if "z" in orders else None
+
+    def _z_sorted(ser):
+        if z_idx is None:
+            return None
+        return (ser.code_hi[z_idx], ser.code_lo[z_idx], ser.order[z_idx])
+
+    stem_plan = build_subm_conv_plan(
+        point.grid_coord, point.mask, kernel_size=5, depth=depth,
+        z_sorted=_z_sorted(point.ser),
+    )
+    state = StageState(
+        coord=point.coord, grid_coord=point.grid_coord, mask=point.mask,
+        ser=point.ser, conv_plan=subplan(stem_plan, 3),
+    )
+    states = [state]
+    plans = []
+    for s in range(1, num_stages):
+        pooling_depth = (math.ceil(strides[s - 1]) - 1).bit_length()
+        plan = build_pooling_plan(
+            state.ser, state.mask, capacities[s - 1], pooling_depth
+        )
+        coord = pool_values(plan, state.coord, "mean")
+        grid_coord = (
+            take_along_points(state.grid_coord, plan.head_index) >> pooling_depth
+        )
+        ser = pool_serialization(plan, state.ser, pooling_depth,
+                                 packed=depth <= 10)
+        state = StageState(
+            coord=coord, grid_coord=grid_coord, mask=plan.out_mask, ser=ser,
+            conv_plan=build_subm_conv_plan(
+                grid_coord, plan.out_mask, kernel_size=3, depth=depth,
+                z_sorted=_z_sorted(ser),
+            ),
+        )
+        plans.append(plan)
+        states.append(state)
+    return PTv3Geometry(
+        point=point, stem_plan=stem_plan, states=tuple(states),
+        plans=tuple(plans),
+    )
 
 
 @MODELS.register_module("PT-v3m1")
@@ -339,7 +490,15 @@ class PointTransformerV3(nn.Module):
     pre_norm: bool = True
     shuffle_orders: bool = True
     upcast_softmax: bool = True
+    enable_rpe: bool = False
     cls_mode: bool = False
+    # PDNorm conditioning (reference pdnorm_* flags + PPT)
+    pdnorm_conditions: Optional[Tuple[str, ...]] = None
+    pdnorm_bn: bool = True
+    pdnorm_ln: bool = True
+    pdnorm_decouple: bool = True
+    pdnorm_adaptive: bool = False
+    context_channels: int = 256
     pool_reduce: str = "mean"
     serialization_depth: int = 16
     # static per-stage point-capacity fractions (upper bounds on cluster
@@ -356,6 +515,31 @@ class PointTransformerV3(nn.Module):
     def num_stages(self):
         return len(self.enc_depths)
 
+    def geometry_capacities(self, n0: int) -> Tuple[int, ...]:
+        """Static per-stage cluster capacities (for build_ptv3_geometry)."""
+        caps = self.stage_capacity or tuple(
+            0.5**s for s in range(1, self.num_stages)
+        )
+        return tuple(
+            _round_capacity(n0, caps[s - 1], self.enc_patch_size[s])
+            for s in range(1, self.num_stages)
+        )
+
+    def build_geometry(
+        self, point: PointBatch, shuffle_rng: Optional[jax.Array] = None
+    ) -> "PTv3Geometry":
+        """Precompute the int-only geometry program for this config."""
+        orders = self.order if not isinstance(self.order, str) else (self.order,)
+        return build_ptv3_geometry(
+            point,
+            orders=orders,
+            depth=self.serialization_depth,
+            num_stages=self.num_stages,
+            strides=self.stride,
+            capacities=self.geometry_capacities(point.num_points),
+            shuffle_rng=shuffle_rng,
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -363,8 +547,26 @@ class PointTransformerV3(nn.Module):
         train: bool = False,
         token_mask: Optional[jnp.ndarray] = None,
         return_enc: bool = False,
+        geometry: Optional[PTv3Geometry] = None,
+        condition_index=None,
+        context=None,
     ):
         deterministic = not train
+        pd = (
+            PDCfg(
+                conditions=tuple(self.pdnorm_conditions),
+                bn=self.pdnorm_bn, ln=self.pdnorm_ln,
+                decouple=self.pdnorm_decouple, adaptive=self.pdnorm_adaptive,
+                context_channels=self.context_channels,
+            )
+            if self.pdnorm_conditions
+            else None
+        )
+        cond = (
+            condition_index if condition_index is not None
+            else jnp.zeros((), jnp.int32),
+            context,
+        )
         num_stages = self.num_stages
         orders = self.order if not isinstance(self.order, str) else (self.order,)
         caps = self.stage_capacity or tuple(
@@ -372,7 +574,9 @@ class PointTransformerV3(nn.Module):
         )
         assert len(caps) == num_stages - 1
 
-        if point.ser is None:
+        if geometry is not None:
+            point = geometry.point
+        elif point.ser is None:
             shuffle_rng = (
                 self.make_rng("shuffle")
                 if (train and self.shuffle_orders and len(orders) > 1)
@@ -394,23 +598,27 @@ class PointTransformerV3(nn.Module):
                 return None
             return (ser.code_hi[z_idx], ser.code_lo[z_idx], ser.order[z_idx])
 
-        # ONE full-resolution merge-join builds the k=5 stem plan; the k=3
-        # xCPE plan for stage 0 is a 27-offset slice of it
-        stem_plan = build_subm_conv_plan(
-            point.grid_coord, point.mask, kernel_size=5,
-            depth=self.serialization_depth, z_sorted=_z_sorted(point.ser),
-        )
-        state = StageState(
-            coord=point.coord,
-            grid_coord=point.grid_coord,
-            mask=point.mask,
-            ser=point.ser,
-            conv_plan=subplan(stem_plan, 3),
-        )
+        if geometry is not None:
+            stem_plan = geometry.stem_plan
+            state = geometry.states[0]
+        else:
+            # ONE full-resolution merge-join builds the k=5 stem plan; the
+            # k=3 xCPE plan for stage 0 is a 27-offset slice of it
+            stem_plan = build_subm_conv_plan(
+                point.grid_coord, point.mask, kernel_size=5,
+                depth=self.serialization_depth, z_sorted=_z_sorted(point.ser),
+            )
+            state = StageState(
+                coord=point.coord,
+                grid_coord=point.grid_coord,
+                mask=point.mask,
+                ser=point.ser,
+                conv_plan=subplan(stem_plan, 3),
+            )
         feat = Embedding(
-            self.in_channels, self.enc_channels[0], dtype=self.dtype,
+            self.in_channels, self.enc_channels[0], pd=pd, dtype=self.dtype,
             name="embedding",
-        )(feat, stem_plan, state.mask, deterministic)
+        )(feat, stem_plan, state.mask, deterministic, cond=cond)
         if self.enable_mask_token:
             mask_token = self.param(
                 "mask_token", nn.initializers.truncated_normal(0.02),
@@ -436,20 +644,27 @@ class PointTransformerV3(nn.Module):
                     stride=self.stride[s - 1],
                     reduce=self.pool_reduce,
                     packed=self.serialization_depth <= 10,
+                    pd=pd,
                     dtype=self.dtype,
                     name=f"enc{s}_down",
-                )(feat, state, cap, deterministic)
+                )(feat, state, cap, deterministic,
+                  plan=geometry.plans[s - 1] if geometry is not None else None,
+                  pooled_state=geometry.states[s] if geometry is not None else None,
+                  cond=cond)
                 x, coord, grid_coord, mask, ser, plan = pooled
                 skips.append((feat, state, plan))
                 feat = x
-                state = StageState(
-                    coord=coord, grid_coord=grid_coord, mask=mask, ser=ser,
-                    conv_plan=build_subm_conv_plan(
-                        grid_coord, mask, kernel_size=3,
-                        depth=self.serialization_depth,
-                        z_sorted=_z_sorted(ser),
-                    ),
-                )
+                if geometry is not None:
+                    state = geometry.states[s]
+                else:
+                    state = StageState(
+                        coord=coord, grid_coord=grid_coord, mask=mask, ser=ser,
+                        conv_plan=build_subm_conv_plan(
+                            grid_coord, mask, kernel_size=3,
+                            depth=self.serialization_depth,
+                            z_sorted=_z_sorted(ser),
+                        ),
+                    )
             for i in range(self.enc_depths[s]):
                 feat = Block(
                     channels=self.enc_channels[s],
@@ -464,10 +679,12 @@ class PointTransformerV3(nn.Module):
                     pre_norm=self.pre_norm,
                     order_index=i % len(orders),
                     upcast_softmax=self.upcast_softmax,
+                    enable_rpe=self.enable_rpe,
                     use_pallas=self.use_pallas,
+                    pd=pd,
                     dtype=self.dtype,
                     name=f"enc{s}_block{i}",
-                )(feat, state, deterministic)
+                )(feat, state, deterministic, cond=cond)
 
         enc_feat, enc_mask = feat, state.mask  # coarsest-stage encoder output
 
@@ -483,10 +700,11 @@ class PointTransformerV3(nn.Module):
                     in_channels=dec_channels[s + 1],
                     skip_channels=self.enc_channels[s],
                     out_channels=dec_channels[s],
+                    pd=pd,
                     dtype=self.dtype,
                     name=f"dec{s}_up",
                 )(feat, parent_feat, parent_state.mask, state.mask, plan,
-                  deterministic)
+                  deterministic, cond=cond)
                 state = parent_state
                 dp_slice = dec_dp[
                     sum(self.dec_depths[:s]) : sum(self.dec_depths[: s + 1])
@@ -505,10 +723,12 @@ class PointTransformerV3(nn.Module):
                         pre_norm=self.pre_norm,
                         order_index=i % len(orders),
                         upcast_softmax=self.upcast_softmax,
+                        enable_rpe=self.enable_rpe,
                         use_pallas=self.use_pallas,
+                        pd=pd,
                         dtype=self.dtype,
                         name=f"dec{s}_block{i}",
-                    )(feat, state, deterministic)
+                    )(feat, state, deterministic, cond=cond)
 
         out = point.replace(
             feat=feat,

@@ -35,7 +35,7 @@ from scenesplat_tpu.ops.serialization import Serialization, serialize, take_alon
 from scenesplat_tpu.ops.sparse_conv import inverse_conv_apply, strided_conv_apply
 from scenesplat_tpu.ops.subm_conv import SubMConvPlan, build_subm_conv_plan
 from .builder import MODELS
-from .norm import MaskedBatchNorm
+from .norm import MaskedBatchNorm, PDNorm
 from .ptv3 import SubMConv
 from .structure import PointBatch
 
@@ -45,6 +45,35 @@ class LevelState(NamedTuple):
     mask: jnp.ndarray  # [B, N]
     ser: Serialization
     conv_plan: SubMConvPlan
+
+
+class CondBatchNorm(nn.Module):
+    """MaskedBatchNorm or (when conditions are set) prompt-driven PDNorm
+    (reference SpUNet-v1m3, spconv_unet_v1m3_pdnorm.py:26-77)."""
+
+    features: int
+    bn_momentum: float = 0.01
+    conditions: Optional[Tuple[str, ...]] = None
+    decouple: bool = True
+    adaptive: bool = False
+    context_channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic, condition_index=None, context=None):
+        if self.conditions is None:
+            return MaskedBatchNorm(
+                self.features, momentum=self.bn_momentum, dtype=self.dtype,
+                name="norm",
+            )(x, mask, use_running_average=deterministic)
+        cidx = condition_index if condition_index is not None else jnp.zeros((), jnp.int32)
+        return PDNorm(
+            features=self.features, conditions=tuple(self.conditions),
+            norm_type="bn", decouple=self.decouple, adaptive=self.adaptive,
+            context_channels=self.context_channels, dtype=self.dtype,
+            name="pdnorm",
+        )(x, cidx, mask=mask, context=context,
+          use_running_average=deterministic)
 
 
 class StridedConv(nn.Module):
@@ -84,37 +113,50 @@ class InverseConv(nn.Module):
 
 class BasicBlock(nn.Module):
     """Residual block: two k=3 submanifold convs + BN/ReLU and a projected
-    shortcut (reference spconv_unet_v1m1_base.py:23-86)."""
+    shortcut (reference spconv_unet_v1m1_base.py:23-86). ``conditions`` turns
+    every norm into PDNorm (SpUNet-v1m3)."""
 
     in_channels: int
     embed_channels: int
     bn_momentum: float = 0.01
+    conditions: Optional[Tuple[str, ...]] = None
+    pd_decouple: bool = True
+    pd_adaptive: bool = False
+    context_channels: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, level: LevelState, deterministic: bool):
+    def __call__(self, feat, level: LevelState, deterministic: bool,
+                 condition_index=None, context=None):
         c = self.embed_channels
 
-        def bn(name):
-            return MaskedBatchNorm(c, momentum=self.bn_momentum,
-                                   dtype=self.dtype, name=name)
+        def bn(x, name):
+            return CondBatchNorm(
+                c, bn_momentum=self.bn_momentum, conditions=self.conditions,
+                decouple=self.pd_decouple, adaptive=self.pd_adaptive,
+                context_channels=self.context_channels, dtype=self.dtype,
+                name=name,
+            )(x, level.mask, deterministic, condition_index, context)
 
         residual = feat
         x = SubMConv(self.in_channels, c, kernel_size=3, use_bias=False,
                      trunc_normal_std=0.02, dtype=self.dtype, name="conv1")(
             feat, level.conv_plan)
-        x = nn.relu(bn("bn1")(x, level.mask, use_running_average=deterministic))
+        x = nn.relu(bn(x, "bn1"))
         x = SubMConv(c, c, kernel_size=3, use_bias=False,
                      trunc_normal_std=0.02, dtype=self.dtype, name="conv2")(
             x, level.conv_plan)
-        x = bn("bn2")(x, level.mask, use_running_average=deterministic)
+        x = bn(x, "bn2")
         if self.in_channels != c:
             # 1x1 submanifold conv == pointwise linear
             residual = nn.Dense(c, use_bias=False, dtype=self.dtype,
                                 name="proj")(residual)
-            residual = MaskedBatchNorm(
-                c, momentum=self.bn_momentum, dtype=self.dtype, name="proj_norm"
-            )(residual, level.mask, use_running_average=deterministic)
+            residual = CondBatchNorm(
+                c, bn_momentum=self.bn_momentum, conditions=self.conditions,
+                decouple=self.pd_decouple, adaptive=self.pd_adaptive,
+                context_channels=self.context_channels, dtype=self.dtype,
+                name="proj_norm",
+            )(residual, level.mask, deterministic, condition_index, context)
         return nn.relu(x + residual)
 
 
@@ -137,19 +179,29 @@ class SpUNet(nn.Module):
     serialization_depth: int = 16
     # per-downsample cluster-capacity fractions of input N
     stage_capacity: Optional[Tuple[float, ...]] = None
+    # PDNorm conditioning (SpUNet-v1m3, spconv_unet_v1m3_pdnorm.py:230)
+    conditions: Optional[Tuple[str, ...]] = None
+    pd_decouple: bool = True
+    pd_adaptive: bool = False
+    context_channels: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, point: PointBatch, train: bool = False):
+    def __call__(self, point: PointBatch, train: bool = False,
+                 condition_index=None, context=None):
         deterministic = not train
         assert len(self.layers) % 2 == 0 and len(self.layers) == len(self.channels)
         num_stages = len(self.layers) // 2
         caps = self.stage_capacity or tuple(0.5**s for s in range(1, num_stages + 1))
         n0 = point.num_points
 
-        def bn(c, name):
-            return MaskedBatchNorm(c, momentum=self.bn_momentum,
-                                   dtype=self.dtype, name=name)
+        def bn_apply(x, c, mask, name):
+            return CondBatchNorm(
+                c, bn_momentum=self.bn_momentum, conditions=self.conditions,
+                decouple=self.pd_decouple, adaptive=self.pd_adaptive,
+                context_channels=self.context_channels, dtype=self.dtype,
+                name=name,
+            )(x, mask, deterministic, condition_index, context)
 
         def make_level(grid_coord, mask, ser, kernel_size=3):
             return LevelState(
@@ -181,8 +233,8 @@ class SpUNet(nn.Module):
                         use_bias=False, trunc_normal_std=0.02,
                         dtype=self.dtype, name="conv_input")(
             point.feat.astype(self.dtype), stem_plan)
-        feat = nn.relu(bn(self.base_channels, "norm_input")(
-            feat, level.mask, use_running_average=deterministic))
+        feat = nn.relu(bn_apply(feat, self.base_channels, level.mask,
+                               "norm_input"))
 
         enc_channels = self.base_channels
         dec_channels = self.channels[-1]
@@ -202,14 +254,16 @@ class SpUNet(nn.Module):
             new_ser = pool_serialization(plan, level.ser, pooling_depth=1,
                                          packed=self.serialization_depth <= 10)
             level = make_level(new_grid, plan.out_mask, new_ser)
-            feat = nn.relu(bn(self.channels[s], f"down{s}_norm")(
-                x, level.mask, use_running_average=deterministic))
+            feat = nn.relu(bn_apply(x, self.channels[s], level.mask,
+                                   f"down{s}_norm"))
             for i in range(self.layers[s]):
                 feat = BasicBlock(
                     in_channels=self.channels[s], embed_channels=self.channels[s],
-                    bn_momentum=self.bn_momentum, dtype=self.dtype,
+                    bn_momentum=self.bn_momentum, conditions=self.conditions,
+                    pd_decouple=self.pd_decouple, pd_adaptive=self.pd_adaptive,
+                    context_channels=self.context_channels, dtype=self.dtype,
                     name=f"enc{s}_block{i}",
-                )(feat, level, deterministic)
+                )(feat, level, deterministic, condition_index, context)
 
             dec_specs.append(
                 (self.channels[len(self.channels) - s - 2], enc_channels,
@@ -225,8 +279,8 @@ class SpUNet(nn.Module):
                 x = InverseConv(up_in, up_out, dtype=self.dtype,
                                 name=f"up{s}")(
                     feat, plan, skip_level.grid_coord, skip_level.mask)
-                x = nn.relu(bn(up_out, f"up{s}_norm")(
-                    x, skip_level.mask, use_running_average=deterministic))
+                x = nn.relu(bn_apply(x, up_out, skip_level.mask,
+                                     f"up{s}_norm"))
                 level = skip_level
                 if self.skip:
                     feat = jnp.concatenate([x, skip_feat], axis=-1)
@@ -237,9 +291,12 @@ class SpUNet(nn.Module):
                     feat = BasicBlock(
                         in_channels=in_ch if i == 0 else up_out,
                         embed_channels=up_out,
-                        bn_momentum=self.bn_momentum, dtype=self.dtype,
+                        bn_momentum=self.bn_momentum, conditions=self.conditions,
+                        pd_decouple=self.pd_decouple,
+                        pd_adaptive=self.pd_adaptive,
+                        context_channels=self.context_channels, dtype=self.dtype,
                         name=f"dec{s}_block{i}",
-                    )(feat, level, deterministic)
+                    )(feat, level, deterministic, condition_index, context)
 
         if self.num_classes > 0:
             feat = nn.Dense(self.num_classes, dtype=self.dtype, name="final")(feat)
@@ -264,3 +321,14 @@ class SpUNetNoSkip(SpUNet):
     spconv_unet_v1m1_base.py:283-464); used by MSC-style pretraining."""
 
     skip: bool = False
+
+
+@MODELS.register_module("SpUNet-v1m3")
+class SpUNetV1M3(SpUNet):
+    """Prompt-driven-normalization SpUNet for Point Prompt Training
+    (reference spconv_unet_v1m3_pdnorm.py:230-438): every norm is a PDNorm
+    selected by the batch's dataset condition, optionally modulated by a
+    learned context vector."""
+
+    conditions: Optional[Tuple[str, ...]] = ("ScanNet", "S3DIS", "Structured3D")
+    pd_adaptive: bool = True

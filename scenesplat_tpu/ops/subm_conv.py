@@ -171,3 +171,25 @@ def subm_conv_apply(
     if bias is not None:
         out = out + bias
     return out
+
+
+def subm_dwconv_apply(
+    feat: jnp.ndarray,
+    plan: SubMConvPlan,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Depthwise submanifold conv (OctFormer's OctreeDWConv,
+    octformer_v1m1_base.py:143-160): feat [B, N, C], weight [K3, C] ->
+    [B, N, C]; per-offset gathered FMAs instead of matmuls."""
+    k3 = weight.shape[0]
+    assert k3 == plan.neighbor_index.shape[1]
+    out = None
+    for k in range(k3):
+        g = take_along_points(feat, plan.neighbor_index[:, k])
+        g = g * plan.neighbor_valid[:, k][..., None].astype(feat.dtype)
+        term = g * weight[k].astype(feat.dtype)
+        out = term if out is None else out + term
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out

@@ -118,3 +118,85 @@ def window_attention(
     return window_attention_reference(
         qkv_sorted, valid_sorted, patch_size, num_heads, scale
     )
+
+
+def window_attention_rpe(
+    qkv_sorted: jnp.ndarray,
+    valid_sorted: jnp.ndarray,
+    grid_sorted: jnp.ndarray,
+    rpe_table: jnp.ndarray,
+    patch_size: int,
+    num_heads: int,
+    scale: float | None = None,
+    patch_chunk: int = 4,
+) -> jnp.ndarray:
+    """Dense window attention with the PTv3 relative-position bias
+    (reference RPE, point_transformer_v3m1_base.py:29-48 + enable_rpe path
+    l.183-207): per-axis relative *grid* coordinates of window members index
+    a [3 * (2*bnd+1), H] table whose three axis entries sum into the logits.
+
+    grid_sorted: [B, N, 3] int32 gathered into curve order;
+    rpe_table: [3 * rpe_num, H] with rpe_num = 2*pos_bnd+1,
+    pos_bnd = int((4*patch_size)**(1/3) * 2).
+    """
+    b, n, three, c = qkv_sorted.shape
+    assert three == 3 and n % patch_size == 0
+    h = num_heads
+    d = c // h
+    if scale is None:
+        scale = d**-0.5
+    p = n // patch_size
+    pos_bnd = int((4 * patch_size) ** (1 / 3) * 2)
+    rpe_num = 2 * pos_bnd + 1
+
+    qkv = qkv_sorted.reshape(b, p, patch_size, 3, h, d)
+    valid = valid_sorted.reshape(b, p, patch_size)
+    grid = grid_sorted.reshape(b, p, patch_size, 3)
+
+    pad = (-p) % patch_chunk
+    if pad:
+        qkv = jnp.concatenate(
+            [qkv, jnp.zeros((b, pad) + qkv.shape[2:], qkv.dtype)], axis=1)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((b, pad, patch_size), bool)], axis=1)
+        grid = jnp.concatenate(
+            [grid, jnp.zeros((b, pad, patch_size, 3), grid.dtype)], axis=1)
+    chunks = (p + pad) // patch_chunk
+    qkv = qkv.reshape(b, chunks, patch_chunk, patch_size, 3, h, d)
+    valid = valid.reshape(b, chunks, patch_chunk, patch_size)
+    grid = grid.reshape(b, chunks, patch_chunk, patch_size, 3)
+
+    def step(_, xs):
+        qkv_c, valid_c, grid_c = xs
+        q, k, v = qkv_c[..., 0, :, :], qkv_c[..., 1, :, :], qkv_c[..., 2, :, :]
+        rel = grid_c[..., :, None, :] - grid_c[..., None, :, :]  # [B,c,K,K,3]
+        idx = jnp.clip(rel, -pos_bnd, pos_bnd) + pos_bnd
+        bias = 0.0
+        for axis in range(3):
+            bias = bias + jnp.take(
+                rpe_table[axis * rpe_num:(axis + 1) * rpe_num],
+                idx[..., axis], axis=0,
+            )  # [B, c, K, K, H]
+        bias = jnp.moveaxis(bias, -1, -3)  # [B, c, H, K, K]
+
+        qh = jnp.swapaxes(q, -2, -3)
+        kh = jnp.swapaxes(k, -2, -3)
+        vh = jnp.swapaxes(v, -2, -3)
+        scores = jnp.einsum(
+            "...hqd,...hkd->...hqk", qh * scale, kh,
+            preferred_element_type=jnp.float32,
+        ) + bias.astype(jnp.float32)
+        scores = scores + jnp.where(
+            valid_c[..., None, None, :], 0.0, NEG_INF)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(vh.dtype)
+        out = jnp.einsum("...hqk,...hkd->...hqd", attn, vh,
+                         preferred_element_type=jnp.float32).astype(vh.dtype)
+        return None, jnp.swapaxes(out, -2, -3)
+
+    _, out = jax.lax.scan(
+        step, None,
+        (jnp.swapaxes(qkv, 0, 1), jnp.swapaxes(valid, 0, 1),
+         jnp.swapaxes(grid, 0, 1)),
+    )
+    out = jnp.swapaxes(out, 0, 1).reshape(b, (p + pad) * patch_size, c)
+    return out[:, :n]

@@ -42,3 +42,44 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def context_mesh(
+    n_devices: Optional[int] = None,
+    data: int = 1,
+    axis_names: Sequence[str] = ("data", "seq"),
+) -> Mesh:
+    """2-D (data, seq) mesh for context-parallel serialized attention.
+
+    Beyond the reference (which is DP-only, SURVEY.md §2.6): the serialized
+    window attention is block-diagonal over contiguous patches of the sorted
+    sequence, so sharding the point axis across ``seq`` devices keeps every
+    attention window device-local. Cross-shard data movement happens only in
+    the order/inverse permutation gathers and pooling — GSPMD inserts the
+    collectives (all-to-all style) automatically from the shardings below.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    seq = len(devices) // data
+    return Mesh(np.asarray(devices[: data * seq]).reshape(data, seq), axis_names)
+
+
+def sequence_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, N, ...] arrays: batch over 'data', points over 'seq'."""
+    return NamedSharding(mesh, P("data", "seq"))
+
+
+def shard_point_batch(point, mesh: Mesh):
+    """Place a PointBatch with the point axis sharded over 'seq'.
+
+    N must be divisible by the seq-axis size; with N a multiple of
+    patch_size * seq_devices, every attention window stays on one device.
+    """
+    seq_s = sequence_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, seq_s)
+        if getattr(x, "ndim", 0) >= 2
+        else jax.device_put(x, NamedSharding(mesh, P())),
+        point,
+    )
