@@ -556,6 +556,140 @@ class RandomColorSolarize:
         return data_dict
 
 
+def _rgb_to_hsv(rgb):
+    """Vectorized colorsys.rgb_to_hsv over [..., 3] arrays in [0, 1] value
+    scale for h/s and the raw max-channel for v."""
+    rgb = rgb.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = rgb.max(axis=-1)
+    minc = rgb.min(axis=-1)
+    span = maxc - minc
+    safe = np.where(span == 0, 1.0, span)
+    s = np.where(maxc == 0, 0.0, span / np.where(maxc == 0, 1.0, maxc))
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = np.select(
+        [span == 0, r == maxc, g == maxc], [0.0, bc - gc, 2.0 + rc - bc],
+        default=4.0 + gc - rc,
+    )
+    h = (h / 6.0) % 1.0
+    return np.stack([h, s, maxc], axis=-1)
+
+
+def _hsv_to_rgb(hsv):
+    """Vectorized colorsys.hsv_to_rgb; v carries the original value scale."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = np.floor(h * 6.0).astype(np.int64) % 6
+    f = (h * 6.0) - np.floor(h * 6.0)
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    conditions = [s == 0.0, i == 1, i == 2, i == 3, i == 4, i == 5]
+    r = np.select(conditions, [v, q, p, p, t, v], default=v)
+    g = np.select(conditions, [v, v, v, q, p, p], default=t)
+    b = np.select(conditions, [v, p, t, v, v, q], default=p)
+    return np.stack([r, g, b], axis=-1)
+
+
+@TRANSFORMS.register_module()
+class HueSaturationTranslation:
+    """Random hue rotation + saturation scaling in HSV space over RGB colors
+    in [0, 255] (reference transform.py:1043-1109)."""
+
+    def __init__(self, hue_max=0.5, saturation_max=0.2):
+        self.hue_max = hue_max
+        self.saturation_max = saturation_max
+
+    def __call__(self, data_dict):
+        if "color" in data_dict:
+            color = np.asarray(data_dict["color"])
+            hsv = _rgb_to_hsv(color[:, :3])
+            hue_val = (np.random.rand() - 0.5) * 2 * self.hue_max
+            sat_ratio = 1 + (np.random.rand() - 0.5) * 2 * self.saturation_max
+            hsv[..., 0] = (hsv[..., 0] + hue_val) % 1.0
+            hsv[..., 1] = np.clip(sat_ratio * hsv[..., 1], 0, 1)
+            data_dict["color"][:, :3] = np.clip(_hsv_to_rgb(hsv), 0, 255).astype(
+                color.dtype
+            )
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomColorJitter:
+    """torchvision-style color jitter over RGB in [0, 255]: random
+    brightness/contrast/saturation/hue factors applied in a random order,
+    each with probability ``p`` (reference transform.py:852-1040)."""
+
+    def __init__(self, brightness=0, contrast=0, saturation=0, hue=0, p=0.95):
+        self.brightness = self._check_input(brightness, "brightness")
+        self.contrast = self._check_input(contrast, "contrast")
+        self.saturation = self._check_input(saturation, "saturation")
+        self.hue = self._check_input(
+            hue, "hue", center=0, bound=(-0.5, 0.5), clip_first_on_zero=False
+        )
+        self.p = p
+
+    @staticmethod
+    def _check_input(value, name, center=1, bound=(0, float("inf")),
+                     clip_first_on_zero=True):
+        if isinstance(value, numbers.Number):
+            if value < 0:
+                raise ValueError(f"{name} must be non-negative")
+            value = [center - value, center + value]
+            if clip_first_on_zero:
+                value[0] = max(value[0], 0.0)
+        elif isinstance(value, (tuple, list)) and len(value) == 2:
+            if not bound[0] <= value[0] <= value[1] <= bound[1]:
+                raise ValueError(f"{name} values should be between {bound}")
+        else:
+            raise TypeError(f"{name} should be a number or a pair")
+        if value[0] == value[1] == center:
+            value = None
+        return value
+
+    @staticmethod
+    def _blend(color1, color2, ratio):
+        return (ratio * color1 + (1.0 - ratio) * color2).clip(0, 255.0).astype(
+            color1.dtype
+        )
+
+    @staticmethod
+    def _grayscale(color):
+        r, g, b = color[..., 0], color[..., 1], color[..., 2]
+        return (0.2989 * r + 0.587 * g + 0.114 * b)[..., None]
+
+    def __call__(self, data_dict):
+        if "color" not in data_dict:
+            return data_dict
+        factors = {
+            0: None if self.brightness is None
+            else np.random.uniform(*self.brightness),
+            1: None if self.contrast is None else np.random.uniform(*self.contrast),
+            2: None if self.saturation is None
+            else np.random.uniform(*self.saturation),
+            3: None if self.hue is None else np.random.uniform(*self.hue),
+        }
+        for fn_id in np.random.permutation(4):
+            f = factors[int(fn_id)]
+            if f is None or np.random.rand() >= self.p:
+                continue
+            color = data_dict["color"]
+            if fn_id == 0:  # brightness
+                color = self._blend(color, np.zeros_like(color), f)
+            elif fn_id == 1:  # contrast
+                color = self._blend(color, self._grayscale(color).mean(), f)
+            elif fn_id == 2:  # saturation
+                color = self._blend(color, self._grayscale(color), f)
+            else:  # hue
+                orig_dtype = color.dtype
+                hsv = _rgb_to_hsv(color.astype(np.float64) / 255.0)
+                hsv[..., 0] = (hsv[..., 0] + f) % 1.0
+                color = (_hsv_to_rgb(hsv) * 255.0).clip(0, 255).astype(orig_dtype)
+            data_dict["color"] = color
+        return data_dict
+
+
 @TRANSFORMS.register_module()
 class ShufflePoint:
     def __call__(self, data_dict):
@@ -981,6 +1115,45 @@ class GSGaussianBlurVoxelOpc:
                     np.linalg.norm(flat[blur_mask], axis=1, keepdims=True), 1e-9
                 )
             data_dict[k] = flat.reshape(np.asarray(data_dict[k]).shape)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class GSGaussianBlurVoxelGPU:
+    """Box-kernel voxelized color blur with occupancy renormalization
+    (reference transform.py:1681-1737 — a torch-CUDA uniform-kernel variant
+    of the voxel blur; here a host-side numpy/scipy equivalent, kernel size
+    2*round(4*sigma)+1 with sigma ~ U(sigma[0], sigma[1]))."""
+
+    def __init__(self, p=0.5, sigma=(0.1, 2, 0)):
+        self.p = p
+        self.sigma = sigma
+
+    def __call__(self, data_dict):
+        if np.random.rand() >= self.p:
+            return data_dict
+        import scipy.ndimage
+
+        assert "grid_coord" in data_dict, "GridSample(return_grid_coord) required"
+        grid_coord = np.asarray(data_dict["grid_coord"])
+        color = np.asarray(data_dict["color"], np.float32)
+        radius = round(4.0 * np.random.uniform(self.sigma[0], self.sigma[1]))
+        if radius <= 0:
+            return data_dict
+        gmin = grid_coord.min(axis=0)
+        gsize = grid_coord.max(axis=0) - gmin + 1
+        idx = tuple((grid_coord - gmin).astype(int).T)
+        grid = np.zeros((*gsize, color.shape[1] + 1), np.float32)
+        grid[idx] = np.concatenate(
+            [color, np.ones((len(color), 1), np.float32)], axis=1
+        )
+        blurred = scipy.ndimage.uniform_filter(
+            grid, size=2 * radius + 1, axes=(0, 1, 2), mode="constant"
+        )
+        picked = blurred[idx]
+        data_dict["color"] = (
+            picked[:, :-1] / (picked[:, -1:] + 1e-7)
+        ).astype(data_dict["color"].dtype)
         return data_dict
 
 

@@ -43,21 +43,42 @@ class PointsState(NamedTuple):
 
 class PointBN(nn.Module):
     """PointBatchNorm analogue: BN over valid slots of [B, N, C] or
-    [B, N, K, C] (reference point_transformer_v2m2_base.py:25-43)."""
+    [B, N, K, C] (reference point_transformer_v2m2_base.py:25-43).
+
+    ``conditions`` switches to prompt-driven PDNorm (PT-v2m3,
+    point_transformer_v2m3_pdnorm.py:26-77); ``cond`` = (condition_index,
+    context)."""
 
     features: int
-    dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype = jnp.float32  # second positional for legacy call sites
+    conditions: Optional[Tuple[str, ...]] = None
+    pd_decouple: bool = True
+    pd_adaptive: bool = False
+    context_channels: int = 256
 
     @nn.compact
-    def __call__(self, x, mask, deterministic: bool):
+    def __call__(self, x, mask, deterministic: bool, cond=(None, None)):
         shape = x.shape
         if x.ndim == 4:
             x = x.reshape(shape[0], shape[1] * shape[2], shape[3])
             mask = jnp.broadcast_to(mask[..., None] if mask.ndim == 2 else mask,
                                     shape[:3]).reshape(shape[0], -1)
-        y = MaskedBatchNorm(self.features, dtype=self.dtype, name="norm")(
-            x, mask, use_running_average=deterministic
-        )
+        if self.conditions is None:
+            y = MaskedBatchNorm(self.features, dtype=self.dtype, name="norm")(
+                x, mask, use_running_average=deterministic
+            )
+        else:
+            from .norm import PDNorm
+
+            cidx = cond[0] if cond[0] is not None else jnp.zeros((), jnp.int32)
+            y = PDNorm(
+                features=self.features, conditions=tuple(self.conditions),
+                norm_type="bn", decouple=self.pd_decouple,
+                adaptive=self.pd_adaptive,
+                context_channels=self.context_channels, dtype=self.dtype,
+                name="pdnorm",
+            )(x, cidx, mask=mask, context=cond[1],
+              use_running_average=deterministic)
         return y.reshape(shape)
 
 
@@ -76,15 +97,29 @@ class GroupedVectorAttention(nn.Module):
     pe_multiplier: bool = False
     pe_bias: bool = True
     grouped_linear: bool = False
+    conditions: Optional[Tuple[str, ...]] = None
+    pd_decouple: bool = True
+    pd_adaptive: bool = False
+    context_channels: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, state: PointsState, ref_index, deterministic: bool):
+    def __call__(self, feat, state: PointsState, ref_index, deterministic: bool,
+                 cond=(None, None)):
         c, g = self.embed_channels, self.groups
+
+        def bn(feats, x, mask, name):
+            return PointBN(
+                feats, self.dtype, conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels,
+                name=name,
+            )(x, mask, deterministic, cond=cond)
+
         q = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="linear_q")(feat)
-        q = nn.relu(PointBN(c, self.dtype, name="bn_q")(q, state.mask, deterministic))
+        q = nn.relu(bn(c, q, state.mask, "bn_q"))
         k = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="linear_k")(feat)
-        k = nn.relu(PointBN(c, self.dtype, name="bn_k")(k, state.mask, deterministic))
+        k = nn.relu(bn(c, k, state.mask, "bn_k"))
         v = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="linear_v")(feat)
 
         kg = po.grouping(ref_index, k, state.coord, query_coord=state.coord,
@@ -95,14 +130,12 @@ class GroupedVectorAttention(nn.Module):
         slot_ok = ref_index >= 0
         if self.pe_multiplier:
             pem = nn.Dense(c, dtype=self.dtype, name="pe_mul_fc1")(pos)
-            pem = nn.relu(PointBN(c, self.dtype, name="pe_mul_bn")(
-                pem, slot_ok, deterministic))
+            pem = nn.relu(bn(c, pem, slot_ok, "pe_mul_bn"))
             pem = nn.Dense(c, dtype=self.dtype, name="pe_mul_fc2")(pem)
             relation = relation * pem
         if self.pe_bias:
             peb = nn.Dense(c, dtype=self.dtype, name="pe_bias_fc1")(pos)
-            peb = nn.relu(PointBN(c, self.dtype, name="pe_bias_bn")(
-                peb, slot_ok, deterministic))
+            peb = nn.relu(bn(c, peb, slot_ok, "pe_bias_bn"))
             peb = nn.Dense(c, dtype=self.dtype, name="pe_bias_fc2")(peb)
             relation = relation + peb
             vg = vg + peb
@@ -116,7 +149,7 @@ class GroupedVectorAttention(nn.Module):
                 relation.shape[:-1] + (g, c // g)).sum(-1)
         else:
             w = nn.Dense(g, dtype=self.dtype, name="weight_fc1")(relation)
-        w = nn.relu(PointBN(g, self.dtype, name="weight_bn")(w, slot_ok, deterministic))
+        w = nn.relu(bn(g, w, slot_ok, "weight_bn"))
         w = nn.Dense(g, dtype=self.dtype, name="weight_fc2")(w)
         w = jax.nn.softmax(w.astype(jnp.float32), axis=2).astype(self.dtype)
         w = nn.Dropout(self.attn_drop_rate, deterministic=deterministic)(w)
@@ -135,23 +168,40 @@ class Block(nn.Module):
     grouped_linear: bool = False
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    conditions: Optional[Tuple[str, ...]] = None
+    pd_decouple: bool = True
+    pd_adaptive: bool = False
+    context_channels: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, state: PointsState, ref_index, deterministic: bool):
+    def __call__(self, feat, state: PointsState, ref_index, deterministic: bool,
+                 cond=(None, None)):
         c = self.embed_channels
+
+        def bn(x, name):
+            return PointBN(
+                c, self.dtype, conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels,
+                name=name,
+            )(x, state.mask, deterministic, cond=cond)
+
         identity = feat
         x = nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc1")(feat)
-        x = nn.relu(PointBN(c, self.dtype, name="norm1")(x, state.mask, deterministic))
+        x = nn.relu(bn(x, "norm1"))
         x = GroupedVectorAttention(
             embed_channels=c, groups=self.groups, qkv_bias=self.qkv_bias,
             pe_multiplier=self.pe_multiplier, pe_bias=self.pe_bias,
             grouped_linear=self.grouped_linear,
-            attn_drop_rate=self.attn_drop_rate, dtype=self.dtype, name="attn",
-        )(x, state, ref_index, deterministic)
-        x = nn.relu(PointBN(c, self.dtype, name="norm2")(x, state.mask, deterministic))
+            attn_drop_rate=self.attn_drop_rate,
+            conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels, dtype=self.dtype, name="attn",
+        )(x, state, ref_index, deterministic, cond=cond)
+        x = nn.relu(bn(x, "norm2"))
         x = nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc3")(x)
-        x = PointBN(c, self.dtype, name="norm3")(x, state.mask, deterministic)
+        x = bn(x, "norm3")
         x = nn.Dropout(self.drop_path_rate, broadcast_dims=(2,),
                        deterministic=deterministic, name="drop_path")(x)
         return nn.relu(identity + x)
@@ -171,10 +221,15 @@ class BlockSequence(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rates: Tuple[float, ...] = ()
     knn_tile: int = 512
+    conditions: Optional[Tuple[str, ...]] = None
+    pd_decouple: bool = True
+    pd_adaptive: bool = False
+    context_channels: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, state: PointsState, deterministic: bool):
+    def __call__(self, feat, state: PointsState, deterministic: bool,
+                 cond=(None, None)):
         ref_index, _ = po.knn(state.coord, state.mask, self.neighbours,
                               tile=self.knn_tile)
         rates = self.drop_path_rates or tuple(0.0 for _ in range(self.depth))
@@ -184,8 +239,11 @@ class BlockSequence(nn.Module):
                 qkv_bias=self.qkv_bias, pe_multiplier=self.pe_multiplier,
                 pe_bias=self.pe_bias, grouped_linear=self.grouped_linear,
                 attn_drop_rate=self.attn_drop_rate,
-                drop_path_rate=rates[i], dtype=self.dtype, name=f"block{i}",
-            )(feat, state, ref_index, deterministic)
+                drop_path_rate=rates[i],
+                conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels, dtype=self.dtype, name=f"block{i}",
+            )(feat, state, ref_index, deterministic, cond=cond)
         return feat
 
 
@@ -196,15 +254,23 @@ class GridPool(nn.Module):
     in_channels: int
     out_channels: int
     grid_size: float
+    conditions: Optional[Tuple[str, ...]] = None
+    pd_decouple: bool = True
+    pd_adaptive: bool = False
+    context_channels: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat, state: PointsState, out_capacity: int,
-                 deterministic: bool):
+                 deterministic: bool, cond=(None, None)):
         x = nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype,
                      name="fc")(feat)
-        x = nn.relu(PointBN(self.out_channels, self.dtype, name="norm")(
-            x, state.mask, deterministic))
+        x = nn.relu(PointBN(
+            self.out_channels, self.dtype, conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels,
+            name="norm",
+        )(x, state.mask, deterministic, cond=cond))
         plan = po.grid_cluster_plan(state.coord, state.mask, self.grid_size,
                                     out_capacity)
         coord = pool_values(plan, state.coord, "mean")
@@ -221,15 +287,23 @@ class UnpoolWithSkip(nn.Module):
     out_channels: int
     backend: str = "map"
     skip: bool = True
+    conditions: Optional[Tuple[str, ...]] = None
+    pd_decouple: bool = True
+    pd_adaptive: bool = False
+    context_channels: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat, state: PointsState, skip_feat,
                  skip_state: PointsState, plan: Optional[PoolingPlan],
-                 deterministic: bool):
+                 deterministic: bool, cond=(None, None)):
         x = nn.Dense(self.out_channels, dtype=self.dtype, name="proj")(feat)
-        x = nn.relu(PointBN(self.out_channels, self.dtype, name="proj_norm")(
-            x, state.mask, deterministic))
+        x = nn.relu(PointBN(
+            self.out_channels, self.dtype, conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels,
+            name="proj_norm",
+        )(x, state.mask, deterministic, cond=cond))
         if self.backend == "map" and plan is not None:
             x = unpool_values(x, plan.cluster_of_point)
         else:
@@ -237,9 +311,12 @@ class UnpoolWithSkip(nn.Module):
                                  skip_state.mask, x)
         if self.skip:
             s = nn.Dense(self.out_channels, dtype=self.dtype, name="proj_skip")(skip_feat)
-            s = nn.relu(PointBN(self.out_channels, self.dtype,
-                                name="proj_skip_norm")(
-                s, skip_state.mask, deterministic))
+            s = nn.relu(PointBN(
+                self.out_channels, self.dtype, conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels,
+                name="proj_skip_norm",
+            )(s, skip_state.mask, deterministic, cond=cond))
             x = x + s
         return x
 
@@ -274,11 +351,18 @@ class PointTransformerV2(nn.Module):
     # static cluster-capacity fractions per encoder stage (of input N)
     stage_capacity: Tuple[float, ...] = (0.75, 0.4, 0.2, 0.1)
     knn_tile: int = 512
+    # PDNorm conditioning (PT-v2m3, point_transformer_v2m3_pdnorm.py:230)
+    conditions: Optional[Tuple[str, ...]] = None
+    pd_decouple: bool = True
+    pd_adaptive: bool = False
+    context_channels: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, point: PointBatch, train: bool = False):
+    def __call__(self, point: PointBatch, train: bool = False,
+                 condition_index=None, context=None):
         deterministic = not train
+        cond = (condition_index, context)
         num_stages = len(self.enc_depths)
         state = PointsState(coord=point.coord, mask=point.mask)
         n0 = point.num_points
@@ -286,9 +370,12 @@ class PointTransformerV2(nn.Module):
         feat = nn.Dense(self.patch_embed_channels, use_bias=False,
                         dtype=self.dtype, name="patch_embed_proj")(
             point.feat.astype(self.dtype))
-        feat = nn.relu(PointBN(self.patch_embed_channels, self.dtype,
-                               name="patch_embed_norm")(
-            feat, state.mask, deterministic))
+        feat = nn.relu(PointBN(
+            self.patch_embed_channels, self.dtype, conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels,
+            name="patch_embed_norm",
+        )(feat, state.mask, deterministic, cond=cond))
         feat = BlockSequence(
             depth=self.patch_embed_depth,
             embed_channels=self.patch_embed_channels,
@@ -297,8 +384,11 @@ class PointTransformerV2(nn.Module):
             qkv_bias=self.attn_qkv_bias, pe_multiplier=self.pe_multiplier,
             pe_bias=self.pe_bias, grouped_linear=self.grouped_linear,
             attn_drop_rate=self.attn_drop_rate, knn_tile=self.knn_tile,
+            conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels,
             dtype=self.dtype, name="patch_embed_blocks",
-        )(feat, state, deterministic)
+        )(feat, state, deterministic, cond=cond)
 
         enc_dp = [float(x) for x in
                   _np.linspace(0, self.drop_path_rate, sum(self.enc_depths))]
@@ -313,9 +403,12 @@ class PointTransformerV2(nn.Module):
             cap = min(cap, n0)
             x, new_state, plan = GridPool(
                 in_channels=enc_channels[s], out_channels=enc_channels[s + 1],
-                grid_size=self.grid_sizes[s], dtype=self.dtype,
+                grid_size=self.grid_sizes[s],
+                conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels, dtype=self.dtype,
                 name=f"enc{s}_down",
-            )(feat, state, cap, deterministic)
+            )(feat, state, cap, deterministic, cond=cond)
             skips.append((feat, state, plan))
             feat, state = x, new_state
             feat = BlockSequence(
@@ -327,16 +420,22 @@ class PointTransformerV2(nn.Module):
                 drop_path_rates=tuple(
                     enc_dp[sum(self.enc_depths[:s]):sum(self.enc_depths[:s + 1])]
                 ),
-                knn_tile=self.knn_tile, dtype=self.dtype, name=f"enc{s}_blocks",
-            )(feat, state, deterministic)
+                knn_tile=self.knn_tile,
+                conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels, dtype=self.dtype, name=f"enc{s}_blocks",
+            )(feat, state, deterministic, cond=cond)
 
         for s in reversed(range(num_stages)):
             skip_feat, skip_state, plan = skips.pop()
             feat = UnpoolWithSkip(
                 in_channels=dec_channels[s + 1], skip_channels=enc_channels[s],
                 out_channels=dec_channels[s], backend=self.unpool_backend,
-                dtype=self.dtype, name=f"dec{s}_up",
-            )(feat, state, skip_feat, skip_state, plan, deterministic)
+                conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels, dtype=self.dtype, name=f"dec{s}_up",
+            )(feat, state, skip_feat, skip_state, plan, deterministic,
+              cond=cond)
             state = skip_state
             feat = BlockSequence(
                 depth=self.dec_depths[s], embed_channels=dec_channels[s],
@@ -347,13 +446,20 @@ class PointTransformerV2(nn.Module):
                 drop_path_rates=tuple(
                     dec_dp[sum(self.dec_depths[:s]):sum(self.dec_depths[:s + 1])]
                 ),
-                knn_tile=self.knn_tile, dtype=self.dtype, name=f"dec{s}_blocks",
-            )(feat, state, deterministic)
+                knn_tile=self.knn_tile,
+                conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels, dtype=self.dtype, name=f"dec{s}_blocks",
+            )(feat, state, deterministic, cond=cond)
 
         if self.num_classes > 0:
             x = nn.Dense(dec_channels[0], dtype=self.dtype, name="seg_head_fc1")(feat)
-            x = nn.relu(PointBN(dec_channels[0], self.dtype, name="seg_head_norm")(
-                x, state.mask, deterministic))
+            x = nn.relu(PointBN(
+                dec_channels[0], self.dtype, conditions=self.conditions, pd_decouple=self.pd_decouple,
+                pd_adaptive=self.pd_adaptive,
+                context_channels=self.context_channels,
+                name="seg_head_norm",
+            )(x, state.mask, deterministic, cond=cond))
             feat = nn.Dense(self.num_classes, dtype=self.dtype,
                             name="seg_head_fc2")(x)
         return point.replace(feat=feat, coord=state.coord, mask=state.mask)
@@ -365,3 +471,12 @@ class PointTransformerV2M1(PointTransformerV2):
     encoding enabled."""
 
     grouped_linear: bool = True
+
+
+@MODELS.register_module("PT-v2m3")
+class PointTransformerV2M3(PointTransformerV2):
+    """PT-v2m3 (point_transformer_v2m3_pdnorm.py:230): prompt-driven
+    normalization for Point Prompt Training."""
+
+    conditions: Optional[Tuple[str, ...]] = ("ScanNet", "S3DIS", "Structured3D")
+    pd_adaptive: bool = True

@@ -499,6 +499,10 @@ class PointTransformerV3(nn.Module):
     pdnorm_decouple: bool = True
     pdnorm_adaptive: bool = False
     context_channels: int = 256
+    # jax.checkpoint each transformer block: trades recompute for activation
+    # memory AND shrinks the fwd+bwd compile graph (tunnel compile-memory
+    # lead, CLAUDE.md); mirrors the reference enable_checkpoint flags
+    remat_blocks: bool = False
     pool_reduce: str = "mean"
     serialization_depth: int = 16
     # static per-stage point-capacity fractions (upper bounds on cluster
@@ -629,6 +633,12 @@ class PointTransformerV3(nn.Module):
 
         import numpy as _np
 
+        # static_argnums counts the module itself at 0: (self, feat, state,
+        # deterministic, cond) -> deterministic is arg 3
+        BlockCls = (
+            nn.remat(Block, static_argnums=(3,)) if self.remat_blocks else Block
+        )
+
         enc_dp = [
             float(x) for x in
             _np.linspace(0, self.drop_path, sum(self.enc_depths))
@@ -666,7 +676,7 @@ class PointTransformerV3(nn.Module):
                         ),
                     )
             for i in range(self.enc_depths[s]):
-                feat = Block(
+                feat = BlockCls(
                     channels=self.enc_channels[s],
                     num_heads=self.enc_num_head[s],
                     patch_size=self.enc_patch_size[s],
@@ -710,7 +720,7 @@ class PointTransformerV3(nn.Module):
                     sum(self.dec_depths[:s]) : sum(self.dec_depths[: s + 1])
                 ][::-1]
                 for i in range(self.dec_depths[s]):
-                    feat = Block(
+                    feat = BlockCls(
                         channels=dec_channels[s],
                         num_heads=self.dec_num_head[s],
                         patch_size=self.dec_patch_size[s],

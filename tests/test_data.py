@@ -220,3 +220,58 @@ def test_multi_dataset_loader(fake_dataset_root):
     loader = MultiDatasetLoader(concat, batch_size=1, num_points=512, num_workers=2)
     batches = list(loader)
     assert len(batches) == len(loader) == 9  # 3*2 + 3*1 scenes
+
+
+def test_hue_saturation_translation_roundtrip_and_range(rng):
+    from scenesplat_tpu.data.transforms import (
+        HueSaturationTranslation, _hsv_to_rgb, _rgb_to_hsv,
+    )
+
+    rgb = rng.uniform(0, 255, (500, 3))
+    # hsv<->rgb roundtrip is exact (value channel carries the 0-255 scale)
+    back = _hsv_to_rgb(_rgb_to_hsv(rgb))
+    assert np.allclose(back, rgb, atol=1e-6)
+
+    d = {"color": rgb.copy().astype(np.float32)}
+    out = HueSaturationTranslation(hue_max=0.3, saturation_max=0.3)(d)
+    c = out["color"]
+    assert c.shape == (500, 3)
+    assert (c >= 0).all() and (c <= 255).all()
+    # hue rotation preserves the max channel (value) per pixel
+    assert np.allclose(c.max(axis=1), rgb.max(axis=1), atol=1e-3)
+
+
+def test_random_color_jitter(rng):
+    from scenesplat_tpu.data.transforms import RandomColorJitter
+
+    rgb = rng.uniform(0, 255, (400, 3)).astype(np.float32)
+    t = RandomColorJitter(brightness=0.4, contrast=0.4, saturation=0.2,
+                          hue=0.1, p=1.0)
+    np.random.seed(3)
+    out = t({"color": rgb.copy()})["color"]
+    assert out.shape == rgb.shape
+    assert (out >= 0).all() and (out <= 255).all()
+    assert not np.allclose(out, rgb)
+    # zero-strength jitter is the identity
+    t0 = RandomColorJitter(p=1.0)
+    assert np.allclose(t0({"color": rgb.copy()})["color"], rgb)
+
+
+def test_gs_gaussian_blur_voxel_gpu_variant(rng):
+    from scenesplat_tpu.data.transforms import GSGaussianBlurVoxelGPU
+
+    n = 800
+    coord = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    grid_coord = np.floor(coord / 0.05).astype(np.int32)
+    color = rng.uniform(0, 255, (n, 3)).astype(np.float32)
+    t = GSGaussianBlurVoxelGPU(p=1.0, sigma=(1.0, 1.0))
+    out = t({"grid_coord": grid_coord, "color": color.copy()})["color"]
+    assert out.shape == color.shape
+    assert np.isfinite(out).all()
+    # blur moves colors toward local means but keeps them in range
+    assert (out >= -1).all() and (out <= 256).all()
+    assert not np.allclose(out, color)
+    # constant color field is preserved under occupancy renormalization
+    const = np.full_like(color, 100.0)
+    out_c = t({"grid_coord": grid_coord, "color": const.copy()})["color"]
+    assert np.allclose(out_c, 100.0, atol=1e-2)

@@ -100,3 +100,27 @@ def test_ptv2_m1_grouped_linear_and_grads():
     assert all(bool(jnp.isfinite(g).all()) for g in leaves)
     norms = [float(jnp.abs(g).max()) for g in leaves]
     assert sum(x > 0 for x in norms) > len(norms) * 0.7
+
+
+def test_ptv2_m3_pdnorm_condition_selects():
+    import jax.numpy as jnp
+
+    model = build_model(_tiny_cfg(
+        type="PT-v2m3", num_classes=4,
+        conditions=("A", "B", "C"), context_channels=8, pd_adaptive=True,
+    ))
+    point = _batch(np.random.default_rng(5))
+    cond0 = jnp.asarray(0, jnp.int32)
+    # per-condition contexts, as PPT's embedding table supplies
+    ctx0 = jnp.ones((2, 8), jnp.float32)
+    ctx2 = jnp.full((2, 8), -0.5, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), point, condition_index=cond0,
+                           context=ctx0)
+    out0 = model.apply(variables, point, condition_index=cond0, context=ctx0)
+    out1 = model.apply(variables, point,
+                       condition_index=jnp.asarray(2, jnp.int32), context=ctx2)
+    assert out0.feat.shape == (2, 96, 4)
+    assert bool(jnp.isfinite(out0.feat[out0.mask]).all())
+    # freshly-initialized per-condition norms are identical; the adaptive
+    # context modulation is what differentiates conditions here
+    assert not np.allclose(np.asarray(out0.feat), np.asarray(out1.feat))
