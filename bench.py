@@ -100,10 +100,11 @@ if __name__ == "__main__":
     if len(sys.argv) > 1:
         main(n_points=int(sys.argv[1]))
     else:
-        # the tunneled compile helper has a hard memory cap; the split
-        # geometry/network programs compile at larger N than the fused
-        # forward could (CLAUDE.md), but keep the resilient ladder
-        for n in (131072, 65536, 32768, 16384):
+        # Default to the size with reliably-sane compile times on the
+        # tunneled toolchain. Larger N compiles (65k/131k) hit pathological
+        # XLA-sort / Mosaic compile zones measured at 5-30+ min (see
+        # ops/pallas_sort.py) — run them only via an explicit CLI arg.
+        for n in (32768, 16384):
             try:
                 main(n_points=n)
                 break

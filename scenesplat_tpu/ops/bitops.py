@@ -19,9 +19,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .pallas_sort import sort_rows
+
 MASK24 = jnp.uint32(0x00FFFFFF)
 # Padding sentinel: larger than any valid 24-bit hi lane, survives >>3 shifts.
 SENTINEL_HI = jnp.uint32(0x7FFFFFFF)
+# Packed-key sentinel: strictly below 0xFFFFFFFF, which the Pallas bitonic
+# sort reserves for its power-of-two padding slots (ops/pallas_sort.py).
+SENTINEL_PACKED = jnp.uint32(0xFFFFFFFE)
 
 
 def pair_shift_right(hi: jnp.ndarray, lo: jnp.ndarray, k: int):
@@ -122,20 +127,17 @@ def lexsort_pair(hi: jnp.ndarray, lo: jnp.ndarray, axis: int = -1, packed: bool 
     measurably cheaper on TPU and covers the common 2 cm / room-scale case.
     """
     axis = axis % hi.ndim
+    assert axis == hi.ndim - 1, "pallas-backed sort requires last-axis"
     iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape, axis)
     # is_stable=False: stability is never required (ties = same voxel) and
     # stable variadic sorts compile ~20-50x slower on the TPU toolchain
     if packed:
-        key = jnp.where(hi != 0, jnp.uint32(0xFFFFFFFF), lo)  # fold sentinel
-        sorted_key, order = jax.lax.sort(
-            (key, iota), dimension=axis, num_keys=1, is_stable=False
-        )
-        sorted_hi = jnp.where(sorted_key == jnp.uint32(0xFFFFFFFF), SENTINEL_HI, 0)
-        sorted_lo = jnp.where(sorted_key == jnp.uint32(0xFFFFFFFF), 0, sorted_key)
+        key = jnp.where(hi != 0, SENTINEL_PACKED, lo)  # fold sentinel
+        sorted_key, order = sort_rows((key, iota), num_keys=1)
+        sorted_hi = jnp.where(sorted_key == SENTINEL_PACKED, SENTINEL_HI, 0)
+        sorted_lo = jnp.where(sorted_key == SENTINEL_PACKED, 0, sorted_key)
         return sorted_hi.astype(jnp.uint32), sorted_lo.astype(jnp.uint32), order
-    sorted_hi, sorted_lo, order = jax.lax.sort(
-        (hi, lo, iota), dimension=axis, num_keys=2, is_stable=False
-    )
+    sorted_hi, sorted_lo, order = sort_rows((hi, lo, iota), num_keys=2)
     return sorted_hi, sorted_lo, order
 
 
@@ -143,9 +145,10 @@ def invert_order(order: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Given a permutation ``order`` (sorted slot -> source index), return the
     inverse permutation (source index -> sorted slot)."""
     axis = axis % order.ndim
+    assert axis == order.ndim - 1, "pallas-backed sort requires last-axis"
     iota = jax.lax.broadcasted_iota(jnp.int32, order.shape, axis)
     # inverse[order[j]] = j, per batch slice: sort by order as key.
-    _, inverse = jax.lax.sort((order, iota), dimension=axis, num_keys=1, is_stable=False)
+    _, inverse = sort_rows((order, iota), num_keys=1)
     return inverse
 
 
@@ -237,8 +240,8 @@ def lookup_pair_batched(
     payload = jnp.concatenate(
         [data_payload.astype(jnp.int32), jnp.zeros((b, m), jnp.int32)], axis=-1
     )
-    shi, slo, sflag, sqid, spay = jax.lax.sort(
-        (khi, klo, flag, qid, payload), dimension=-1, num_keys=3, is_stable=False
+    shi, slo, sflag, sqid, spay = sort_rows(
+        (khi, klo, flag, qid, payload), num_keys=3
     )
 
     is_data = sflag == 0
@@ -268,11 +271,8 @@ def lookup_pair_batched(
     found_sorted = has_data & pair_equal(lhi, llo, shi, slo) & ~is_data
 
     # return to query order: sort by qid (data slots have qid=m, sort last)
-    _, pay_q, found_q = jax.lax.sort(
-        (sqid, lpay, found_sorted.astype(jnp.int32)),
-        dimension=-1,
-        num_keys=1,
-        is_stable=False,
+    _, pay_q, found_q = sort_rows(
+        (sqid, lpay, found_sorted.astype(jnp.int32)), num_keys=1
     )
     out_pay = pay_q[:, :m].reshape(qshape)
     found = (found_q[:, :m] > 0).reshape(qshape)
@@ -285,7 +285,7 @@ def _lookup_packed(data_hi, data_lo, qhi, qlo, data_payload, qshape):
     1-key sort instead of 5-operand 3-key, and a 3-lane scan instead of 4."""
     b, n = data_hi.shape
     m = qhi.shape[-1]
-    sentinel = jnp.uint32(0xFFFFFFFE)  # even (data flag) and above any code<<1
+    sentinel = SENTINEL_PACKED  # even (data flag) and above any code<<1
     dkey = jnp.where(data_hi != 0, sentinel, data_lo << 1)
     qkey = (qlo << 1) | jnp.uint32(1)
     key = jnp.concatenate([dkey, qkey], axis=-1)
@@ -299,9 +299,7 @@ def _lookup_packed(data_hi, data_lo, qhi, qlo, data_payload, qshape):
     payload = jnp.concatenate(
         [data_payload.astype(jnp.int32), jnp.zeros((b, m), jnp.int32)], axis=-1
     )
-    skey, sqid, spay = jax.lax.sort(
-        (key, qid, payload), dimension=-1, num_keys=1, is_stable=False
-    )
+    skey, sqid, spay = sort_rows((key, qid, payload), num_keys=1)
     is_data = (skey & jnp.uint32(1)) == 0
     code = skey >> 1
 
@@ -321,11 +319,8 @@ def _lookup_packed(data_hi, data_lo, qhi, qlo, data_payload, qshape):
     )
     found_sorted = has_data & (lcode == code) & ~is_data & (skey != sentinel)
 
-    _, pay_q, found_q = jax.lax.sort(
-        (sqid, lpay, found_sorted.astype(jnp.int32)),
-        dimension=-1,
-        num_keys=1,
-        is_stable=False,
+    _, pay_q, found_q = sort_rows(
+        (sqid, lpay, found_sorted.astype(jnp.int32)), num_keys=1
     )
     return pay_q[:, :m].reshape(qshape), (found_q[:, :m] > 0).reshape(qshape)
 

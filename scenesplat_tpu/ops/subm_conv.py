@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from .bitops import SENTINEL_HI, lookup_pair_batched
+from .pallas_sort import sort_rows
 from .curves import z_order_encode
 from .serialization import take_along_points
 
@@ -90,11 +91,9 @@ def build_subm_conv_plan(
     else:
         hi, lo = z_order_encode(grid_coord, depth=depth)
         hi = jnp.where(mask, hi, SENTINEL_HI)
-        shi, slo, order = jax.lax.sort(
+        shi, slo, order = sort_rows(
             (hi, lo, jax.lax.broadcasted_iota(jnp.int32, hi.shape, 1)),
-            dimension=1,
             num_keys=2,
-            is_stable=False,
         )
 
     # All kernel offsets resolved by sort-based merge-joins (see
