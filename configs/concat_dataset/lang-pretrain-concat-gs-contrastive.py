@@ -18,6 +18,10 @@ mix_prob = 0.8
 clip_grad = 1.0
 epoch = 600
 evaluate = True
+# build serialization + conv/pooling plans in separate jitted programs and
+# feed them into the fwd+bwd program: at 192k-point scenes the fused compile
+# exceeds the remote compile helper's memory cap (CLAUDE.md round-1 notes)
+split_geometry = True
 
 model = dict(
     type="LangPretrainer",

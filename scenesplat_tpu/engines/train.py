@@ -159,7 +159,41 @@ class Trainer(TrainerBase):
         # input shardings come from device_put placement in run_step (batch
         # arrays sharded over 'data', scalars/state replicated)
         self._jit_step = jax.jit(self._make_step(), donate_argnums=(0,))
+        self._geom_builder = self._make_geom_builder()
         self.register_hooks(cfg.get("hooks"))
+
+    def _make_geom_builder(self):
+        """Staged geometry-outside-the-step builder (cfg.split_geometry).
+
+        Serialization + conv/pooling plans are int-only (no grads), and
+        hoisting them out of the fused fwd+bwd program keeps each compile
+        within the tunneled compile helper's memory cap at large N
+        (CLAUDE.md round-1 notes). Each staged program is itself jitted and
+        cached; results are bit-identical to the in-model path
+        (tests/test_geometry_split.py)."""
+        if not self.cfg.get("split_geometry") or self.task not in (
+            "lang", "semseg",
+        ):
+            return None
+        backbone_cfg = dict(self.cfg.model.get("backbone") or {})
+        if not backbone_cfg:
+            return None
+        backbone = build_model(backbone_cfg)
+        if not hasattr(backbone, "build_geometry_staged"):
+            self.logger.warning(
+                "split_geometry: backbone %s has no staged geometry builder; "
+                "falling back to in-model serialization",
+                backbone_cfg.get("type"),
+            )
+            return None
+        shuffle = bool(backbone_cfg.get("shuffle_orders", True))
+        base_rng = jax.random.PRNGKey(self.cfg.get("seed", 0) + 7)
+
+        def build(point, step: int):
+            key = jax.random.fold_in(base_rng, step) if shuffle else None
+            return backbone.build_geometry_staged(point, shuffle_rng=key)
+
+        return build
 
     # ---- override points (SSL pretrainer swaps these) -------------------
     def _build_model(self, model_cfg):
@@ -221,7 +255,15 @@ class Trainer(TrainerBase):
             np.float32((self.epoch + 1) / max(self.max_epoch, 1)),
             replicated(self.mesh),
         )
-        self.state, metrics = self._jit_step(self.state, device_batch)
+        if self._geom_builder is not None:
+            geometry = self._geom_builder(
+                point_from_batch(device_batch), int(self.state.step)
+            )
+            self.state, metrics = self._jit_step(
+                self.state, device_batch, geometry
+            )
+        else:
+            self.state, metrics = self._jit_step(self.state, device_batch)
         self.storage.put_scalar("loss", float(metrics["loss"]))
         self.storage.put_scalar("grad_norm", float(metrics["grad_norm"]))
         if self.lr_schedule is not None:

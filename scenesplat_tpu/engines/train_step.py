@@ -73,7 +73,7 @@ def make_train_step(
     criteria + bias L1/cosine, reference point_group_v1m1_base.py:72-95).
     """
 
-    def loss_fn(params, batch_stats, batch, rngs, loss_rng):
+    def loss_fn(params, batch_stats, batch, rngs, loss_rng, geometry=None):
         if task == "msc":
             # MSC consumes the raw two-view batch dict (views are padded
             # [B, N, ...] buffers) and returns its loss dict in-model,
@@ -117,12 +117,14 @@ def make_train_step(
             )
             loss = criteria(out.feat, batch["segment"], mask=out.mask)
             return loss, updates["batch_stats"]
+        geom_kw = {"geometry": geometry} if geometry is not None else {}
         out, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             point,
             train=True,
             rngs=rngs,
             mutable=["batch_stats"],
+            **geom_kw,
         )
         if task == "insseg":
             from scenesplat_tpu.models.point_group import pointgroup_loss
@@ -149,13 +151,19 @@ def make_train_step(
             raise ValueError(f"unknown task: {task}")
         return loss, updates["batch_stats"]
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   geometry=None):
+        """``geometry``: optional prebuilt PTv3Geometry (int-only pytree from
+        the staged per-step programs, models/ptv3.py:build_ptv3_geometry_staged).
+        Hoisting it out of this jitted program keeps the fwd+bwd compile
+        within the tunneled compile helper's memory cap at large N, and the
+        geometry carries no gradients anyway."""
         rng = jax.random.fold_in(state.rng, state.step)
         k_drop, k_shuffle, k_loss = jax.random.split(rng, 3)
         rngs = {"dropout": k_drop, "shuffle": k_shuffle}
         (loss, new_batch_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, rngs, k_loss)
+        )(state.params, state.batch_stats, batch, rngs, k_loss, geometry)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {

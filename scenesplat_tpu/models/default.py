@@ -57,8 +57,12 @@ class DefaultSegmentorV2(nn.Module):
         if self.num_classes > 0:
             self.seg_head = nn.Dense(self.num_classes)
 
-    def __call__(self, point: PointBatch, train: bool = False):
-        out = self.backbone_module(point, train=train)
+    def __call__(self, point: PointBatch, train: bool = False,
+                 geometry=None):
+        if geometry is not None:
+            out = self.backbone_module(point, train=train, geometry=geometry)
+        else:
+            out = self.backbone_module(point, train=train)
         logits = self.seg_head(out.feat) if self.num_classes > 0 else out.feat
         return out.replace(feat=logits)
 

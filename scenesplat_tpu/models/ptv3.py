@@ -22,7 +22,9 @@ keeping deep-stage compute proportional to real point counts.
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -465,6 +467,138 @@ def build_ptv3_geometry(
     )
 
 
+# --- staged geometry -------------------------------------------------------
+# One jitted program per construction step. Identical results to
+# build_ptv3_geometry inside a single jit, but the tunneled toolchain's
+# compile time grows superlinearly with the fused geometry graph at
+# N >= 64k (hours, vs minutes for the pieces), so large-N callers compile
+# the steps separately at ~28 ms/step dispatch overhead. Programs are
+# cached by (static config, shapes) via jax.jit.
+
+
+@functools.partial(jax.jit, static_argnames=("orders", "depth", "do_shuffle"))
+def _geom_serialize(point, shuffle_rng, *, orders, depth, do_shuffle):
+    return point.serialized(
+        orders, depth=depth, shuffle_rng=shuffle_rng if do_shuffle else None
+    )
+
+
+def _z_sorted_of(ser, orders):
+    if "z" not in orders:
+        return None
+    z_idx = orders.index("z")
+    return (ser.code_hi[z_idx], ser.code_lo[z_idx], ser.order[z_idx])
+
+
+# per-program element budget for conv-plan merge-joins: the tunneled
+# compile helper SIGKILLs join graphs much past ~2M elements (measured:
+# 0.9M compiles in ~50 s, 8.3M is killed), so staged conv plans split the
+# kernel offsets across programs of at most this many (offsets+1) x N
+# elements each
+_JOIN_ELEMS_PER_PROGRAM = int(
+    os.environ.get("SCENESPLAT_JOIN_ELEMS_PER_PROGRAM", 1_500_000)
+)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "depth", "has_z", "lo", "hi")
+)
+def _geom_conv_chunk(grid_coord, mask, z_sorted, *, k, depth, has_z, lo, hi):
+    plan = build_subm_conv_plan(
+        grid_coord, mask, kernel_size=k, depth=depth,
+        z_sorted=z_sorted if has_z else None, offset_slice=(lo, hi),
+    )
+    return plan.neighbor_index, plan.neighbor_valid
+
+
+def _staged_conv_plan(grid_coord, mask, z_sorted, *, k, depth):
+    """Conv plan via as many jitted programs as the join budget requires."""
+    n = grid_coord.shape[1]
+    k3 = k**3
+    per = max(1, _JOIN_ELEMS_PER_PROGRAM // max(n, 1) - 1)
+    nbr, valid = [], []
+    for lo in range(0, k3, per):
+        hi = min(lo + per, k3)
+        nb, va = _geom_conv_chunk(
+            grid_coord, mask, z_sorted, k=k, depth=depth,
+            has_z=z_sorted is not None, lo=lo, hi=hi,
+        )
+        nbr.append(nb)
+        valid.append(va)
+    return SubMConvPlan(
+        neighbor_index=jnp.concatenate(nbr, axis=1) if len(nbr) > 1 else nbr[0],
+        neighbor_valid=(
+            jnp.concatenate(valid, axis=1) if len(valid) > 1 else valid[0]
+        ),
+        kernel_size=k,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "pooling_depth", "depth")
+)
+def _geom_pool(ser, mask, coord, grid_coord, *, cap, pooling_depth, depth):
+    plan = build_pooling_plan(ser, mask, cap, pooling_depth)
+    new_coord = pool_values(plan, coord, "mean")
+    new_grid = take_along_points(grid_coord, plan.head_index) >> pooling_depth
+    new_ser = pool_serialization(plan, ser, pooling_depth, packed=depth <= 10)
+    return plan, new_coord, new_grid, new_ser
+
+
+def build_ptv3_geometry_staged(
+    point: PointBatch,
+    *,
+    orders: Sequence[str],
+    depth: int = 16,
+    num_stages: int = 5,
+    strides: Sequence[int] = (2, 2, 2, 2),
+    capacities: Sequence[int] = (),
+    shuffle_rng: Optional[jax.Array] = None,
+) -> PTv3Geometry:
+    """build_ptv3_geometry semantics through per-step jitted programs."""
+    orders = tuple(orders)
+    if point.ser is None:
+        rng = shuffle_rng if shuffle_rng is not None else jax.random.PRNGKey(0)
+        point = _geom_serialize(
+            point, rng, orders=orders, depth=depth,
+            do_shuffle=shuffle_rng is not None,
+        )
+    has_z = "z" in orders
+    z_idx = orders.index("z") if has_z else None
+    z_sorted = _z_sorted_of(point.ser, orders)
+    stem_plan = _staged_conv_plan(
+        point.grid_coord, point.mask, z_sorted, k=5, depth=depth
+    )
+    state = StageState(
+        coord=point.coord, grid_coord=point.grid_coord, mask=point.mask,
+        ser=point.ser, conv_plan=subplan(stem_plan, 3),
+    )
+    states = [state]
+    plans = []
+    for s in range(1, num_stages):
+        pooling_depth = (math.ceil(strides[s - 1]) - 1).bit_length()
+        plan, coord, grid_coord, ser = _geom_pool(
+            state.ser, state.mask, state.coord, state.grid_coord,
+            cap=capacities[s - 1], pooling_depth=pooling_depth, depth=depth,
+        )
+        zs = (
+            (ser.code_hi[z_idx], ser.code_lo[z_idx], ser.order[z_idx])
+            if has_z
+            else None
+        )
+        state = StageState(
+            coord=coord, grid_coord=grid_coord, mask=plan.out_mask, ser=ser,
+            conv_plan=_staged_conv_plan(grid_coord, plan.out_mask, zs, k=3,
+                                        depth=depth),
+        )
+        plans.append(plan)
+        states.append(state)
+    return PTv3Geometry(
+        point=point, stem_plan=stem_plan, states=tuple(states),
+        plans=tuple(plans),
+    )
+
+
 @MODELS.register_module("PT-v3m1")
 class PointTransformerV3(nn.Module):
     """Flagship backbone (reference l.518-714; flagship VL config:
@@ -535,6 +669,25 @@ class PointTransformerV3(nn.Module):
         """Precompute the int-only geometry program for this config."""
         orders = self.order if not isinstance(self.order, str) else (self.order,)
         return build_ptv3_geometry(
+            point,
+            orders=orders,
+            depth=self.serialization_depth,
+            num_stages=self.num_stages,
+            strides=self.stride,
+            capacities=self.geometry_capacities(point.num_points),
+            shuffle_rng=shuffle_rng,
+        )
+
+    def build_geometry_staged(
+        self, point: PointBatch, shuffle_rng: Optional[jax.Array] = None
+    ) -> "PTv3Geometry":
+        """build_geometry through per-step jitted programs (large-N path).
+
+        Identical results; each step compiles within the tunneled compile
+        helper's memory cap, unlocking N >= 64k (CLAUDE.md round-1 notes).
+        """
+        orders = self.order if not isinstance(self.order, str) else (self.order,)
+        return build_ptv3_geometry_staged(
             point,
             orders=orders,
             depth=self.serialization_depth,

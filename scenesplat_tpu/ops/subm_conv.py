@@ -72,6 +72,7 @@ def build_subm_conv_plan(
     kernel_size: int = 3,
     depth: int = 16,
     z_sorted: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
+    offset_slice: Tuple[int, int] | None = None,
 ) -> SubMConvPlan:
     """grid_coord [B, N, 3] int32, mask [B, N] bool.
 
@@ -79,6 +80,12 @@ def build_subm_conv_plan(
     sort permutation, e.g. from ops.serialization) lets the plan reuse the
     serialization sort instead of re-sorting — sorts are the compile- and
     runtime-critical op on TPU, so every stage shares one.
+
+    ``offset_slice=(lo, hi)`` restricts the plan to kernel offsets [lo, hi)
+    (neighbor arrays get K3 = hi - lo). The tunneled compile helper SIGKILLs
+    programs whose join graphs exceed ~2M elements, so large-N callers build
+    the k=5 stem plan in several such programs and concatenate
+    (models/ptv3.py:build_ptv3_geometry_staged).
     """
     assert kernel_size % 2 == 1
     n = grid_coord.shape[1]
@@ -103,6 +110,8 @@ def build_subm_conv_plan(
     # memory/time scales superlinearly with row length (a single 8M-row sort
     # OOMs the compiler), while grouped rows become ONE batched sort instance.
     offsets_t = kernel_offsets(kernel_size)
+    if offset_slice is not None:
+        offsets_t = offsets_t[offset_slice[0] : offset_slice[1]]
     k3 = len(offsets_t)
     b = grid_coord.shape[0]
     target_row = 1 << 20

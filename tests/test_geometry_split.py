@@ -58,3 +58,86 @@ def test_geometry_split_matches_inline():
     np.testing.assert_allclose(
         np.asarray(a.feat), np.asarray(bb.feat), rtol=1e-5, atol=1e-6
     )
+
+
+def test_staged_geometry_matches_fused():
+    """build_ptv3_geometry_staged (per-step jitted programs) must produce
+    identical plans to the fused build_ptv3_geometry."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scenesplat_tpu.models.ptv3 import (
+        build_ptv3_geometry, build_ptv3_geometry_staged,
+    )
+    from scenesplat_tpu.models.structure import PointBatch
+
+    rng = np.random.default_rng(3)
+    b, n = 2, 1024
+    coord = rng.uniform(0, 4, (b, n, 3)).astype(np.float32)
+    grid_coord = np.floor(coord / 0.05).astype(np.int32)
+    mask = np.ones((b, n), bool)
+    mask[0, 900:] = False
+    point = PointBatch(
+        coord=jnp.asarray(coord), feat=jnp.zeros((b, n, 3), jnp.float32),
+        grid_coord=jnp.asarray(grid_coord), mask=jnp.asarray(mask),
+    )
+    kw = dict(orders=("z", "hilbert"), depth=10, num_stages=3,
+              strides=(2, 2), capacities=(768, 384))
+    fused = jax.jit(
+        lambda p: build_ptv3_geometry(p, **kw)
+    )(point)
+    staged = build_ptv3_geometry_staged(point, **kw)
+
+    flat_f, _ = jax.tree_util.tree_flatten(fused)
+    flat_s, _ = jax.tree_util.tree_flatten(staged)
+    assert len(flat_f) == len(flat_s)
+    for a, c in zip(flat_f, flat_s):
+        a, c = np.asarray(a), np.asarray(c)  # kernel_size may be a python int
+        assert a.shape == c.shape
+        assert (a == c).all()
+
+
+def test_staged_geometry_chunked_conv(monkeypatch):
+    """Tiny join budget forces multi-program conv plans; results unchanged."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import scenesplat_tpu.models.ptv3 as ptv3_mod
+    from scenesplat_tpu.models.structure import PointBatch
+
+    monkeypatch.setattr(ptv3_mod, "_JOIN_ELEMS_PER_PROGRAM", 4096)
+
+    rng = np.random.default_rng(7)
+    b, n = 1, 512
+    coord = rng.uniform(0, 3, (b, n, 3)).astype(np.float32)
+    grid_coord = np.floor(coord / 0.05).astype(np.int32)
+    point = PointBatch(
+        coord=jnp.asarray(coord), feat=jnp.zeros((b, n, 3), jnp.float32),
+        grid_coord=jnp.asarray(grid_coord),
+        mask=jnp.ones((b, n), bool),
+    )
+    kw = dict(orders=("z",), depth=10, num_stages=2, strides=(2,),
+              capacities=(384,))
+    fused = jax.jit(lambda p: ptv3_mod.build_ptv3_geometry(p, **kw))(point)
+    staged = ptv3_mod.build_ptv3_geometry_staged(point, **kw)
+
+    def check_plan(a, c):
+        va, vc = np.asarray(a.neighbor_valid), np.asarray(c.neighbor_valid)
+        assert (va == vc).all()
+        ia, ic = np.asarray(a.neighbor_index), np.asarray(c.neighbor_index)
+        # invalid slots hold arbitrary payloads; compare valid ones only
+        assert (ia[va] == ic[vc]).all()
+
+    check_plan(fused.stem_plan, staged.stem_plan)
+    for sf, ss in zip(fused.states, staged.states):
+        check_plan(sf.conv_plan, ss.conv_plan)
+        for a, c in zip(jax.tree_util.tree_leaves(sf._replace(conv_plan=None)),
+                        jax.tree_util.tree_leaves(ss._replace(conv_plan=None))):
+            assert (np.asarray(a) == np.asarray(c)).all()
+    for a, c in zip(jax.tree_util.tree_leaves(fused.plans),
+                    jax.tree_util.tree_leaves(staged.plans)):
+        assert (np.asarray(a) == np.asarray(c)).all()

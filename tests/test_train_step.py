@@ -51,6 +51,63 @@ def test_train_step_decreases_loss(rng):
     assert losses[-1] < losses[0], losses
 
 
+def test_train_step_with_prebuilt_geometry_matches():
+    """train_step(state, batch, geometry) with staged-program geometry must
+    match the in-model serialization path bit-for-bit (shuffle off)."""
+    from scenesplat_tpu.engines.train_step import (
+        create_train_state,
+        make_train_step,
+        point_from_batch,
+    )
+    from scenesplat_tpu.models import build_model, build_criteria
+    from scenesplat_tpu.utils.optimizer import build_optimizer
+    from test_model import tiny_backbone_cfg
+
+    rng = np.random.default_rng(11)
+    bb = tiny_backbone_cfg(shuffle_orders=False)
+    model = build_model(dict(type="LangPretrainer", backbone=bb))
+    backbone = build_model(dict(bb))
+    criteria = build_criteria([dict(type="CosineSimilarity")])
+    b, n = 2, 64
+    coord = rng.uniform(0, 0.3, size=(b, n, 3)).astype(np.float32)
+    batch = {
+        "coord": jnp.asarray(coord),
+        "feat": jnp.asarray(rng.normal(size=(b, n, 5)).astype(np.float32)),
+        "grid_coord": jnp.asarray(np.floor(coord / 0.02).astype(np.int32)),
+        "mask": jnp.ones((b, n), bool),
+        "lang_feat": jnp.asarray(rng.normal(size=(b, n, 8)).astype(np.float32)),
+        "valid_feat_mask": jnp.ones((b, n), bool),
+    }
+    # SGD: param delta == -lr * grad, so cross-program backward rounding stays
+    # proportional (Adam's m/sqrt(v) turns an epsilon-grad sign flip into a
+    # +-lr param jump, making param comparison meaningless)
+    tx = build_optimizer(
+        dict(type="SGD", lr=1e-2),
+        params=None, total_steps=50, clip_grad=1.0,
+    )
+    state0 = create_train_state(model, tx, point_from_batch(batch))
+    step = jax.jit(make_train_step(model, criteria, tx, task="lang"))
+
+    s_ref, m_ref = step(state0, batch)
+    geom = backbone.build_geometry_staged(point_from_batch(batch))
+    s_geo, m_geo = step(state0, batch, geom)
+
+    # geometry-as-input compiles a different XLA program than geometry-inline,
+    # so backward float accumulation order may differ; demand equality only up
+    # to rounding
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_geo["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_ref["grad_norm"]), float(m_geo["grad_norm"]), rtol=1e-5
+    )
+    for a, c in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_geo.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-7
+        )
+
+
 def test_param_group_labels():
     from scenesplat_tpu.utils.optimizer import _label_params
 
