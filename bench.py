@@ -104,10 +104,104 @@ def main(n_points: int = 131072, batch: int = 1, iters: int = 10, warmup: int = 
     )
 
 
+def main_train(n_points: int = 32768, batch: int = 1, iters: int = 5,
+               warmup: int = 2):
+    """Training-step throughput: staged geometry programs + jitted
+    fwd+bwd+AdamW over the flagship VL losses. Geometry is rebuilt every
+    iteration (train re-serializes each step: augmentations move points).
+    Prints the same one-line JSON with metric train_step_gaussians_per_sec."""
+    import jax
+    import jax.numpy as jnp
+
+    import scenesplat_tpu
+
+    scenesplat_tpu.setup_compilation_cache()
+
+    from __graft_entry__ import FLAGSHIP_BACKBONE, _make_inputs
+    from scenesplat_tpu.engines.train_step import (
+        create_train_state, make_train_step, point_from_batch,
+    )
+    from scenesplat_tpu.models import build_criteria, build_model
+    from scenesplat_tpu.models.ptv3 import PointTransformerV3
+    from scenesplat_tpu.utils.optimizer import build_optimizer
+
+    backbone = dict(FLAGSHIP_BACKBONE, dtype=jnp.bfloat16)
+    model = build_model(dict(type="LangPretrainer", backbone=backbone))
+    criteria = build_criteria(
+        [
+            dict(type="CosineSimilarity", loss_weight=1.0),
+            dict(type="L2Loss", loss_weight=1.0),
+            dict(type="AggregatedContrastiveLoss", loss_weight=0.02,
+                 schedule="last_75", num_classes=256),
+        ]
+    )
+    rng = np.random.default_rng(0)
+    coord, feat, grid_coord, mask = _make_inputs(rng, batch, n_points)
+    d_lang = backbone["dec_channels"][0]
+    batch_dict = {
+        "coord": jnp.asarray(coord),
+        "feat": jnp.asarray(feat),
+        "grid_coord": jnp.asarray(grid_coord),
+        "mask": jnp.asarray(mask),
+        "lang_feat": jnp.asarray(
+            rng.normal(size=(batch, n_points, d_lang)).astype(np.float32)
+        ),
+        "valid_feat_mask": jnp.asarray(rng.random((batch, n_points)) > 0.3),
+        "segment": jnp.asarray(
+            rng.integers(0, 100, size=(batch, n_points)).astype(np.int32)
+        ),
+        "epoch_progress": jnp.asarray(0.9, jnp.float32),
+    }
+    tx = build_optimizer(
+        dict(type="AdamW", lr=6e-3, weight_decay=0.05),
+        params=None, total_steps=1000, clip_grad=1.0,
+    )
+    state = create_train_state(model, tx, point_from_batch(batch_dict))
+    step = jax.jit(make_train_step(model, criteria, tx, task="lang"),
+                   donate_argnums=(0,))
+
+    bb_module = PointTransformerV3(
+        **{k: v for k, v in backbone.items() if k != "type"}
+    )
+    point = point_from_batch(batch_dict)
+
+    def geom(i):
+        return bb_module.build_geometry_staged(
+            point, shuffle_rng=jax.random.PRNGKey(i)
+        )
+
+    for i in range(warmup):
+        state, metrics = step(state, batch_dict, geom(i))
+        jax.block_until_ready(metrics["loss"])
+
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch_dict, geom(100 + i))
+        jax.block_until_ready(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(float(metrics["loss"]))
+
+    dt = float(np.median(times))
+    gps = batch * n_points / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_gaussians_per_sec",
+                "value": round(gps, 1),
+                "unit": "gaussians/s",
+                "vs_baseline": round(gps / 1e6, 4),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     import sys
 
-    if len(sys.argv) > 1:
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        main_train(n_points=int(sys.argv[2]) if len(sys.argv) > 2 else 32768)
+    elif len(sys.argv) > 1:
         main(n_points=int(sys.argv[1]))
     else:
         # Default to the size with reliably-sane compile times on the

@@ -29,16 +29,42 @@ class FeatureExtractor:
         buckets: Optional[Sequence[int]] = None,
         chunk_size: int = 524288,
         output_fn=None,
+        split_threshold: int = 65536,
     ):
         """``output_fn`` maps the model output to one [B, N, C] array
         (default: PointBatch.feat). Models with auxiliary outputs (e.g.
-        PointGroup's bias head) concatenate them here."""
+        PointGroup's bias head) concatenate them here.
+
+        Buckets of ``split_threshold`` points or more build geometry through
+        the staged per-step programs (models/ptv3.py:
+        build_ptv3_geometry_staged) and feed it into the network program:
+        the fused compile exceeds the remote compile helper's memory cap at
+        64k+ (CLAUDE.md round-1 notes). Requires a head whose __call__
+        accepts ``geometry`` and a PTv3-family backbone; other models run
+        fused at every size."""
         self.model = model
         self.patch_size = patch_size
         self.buckets = sorted(buckets) if buckets else None
         self.chunk_size = chunk_size
         self.output_fn = output_fn or (lambda out: out.feat)
+        self.split_threshold = split_threshold
         self._jitted = {}
+        self._geom_backbone = None
+        bb_cfg = getattr(model, "backbone", None)
+        if bb_cfg is not None:
+            import inspect
+
+            from scenesplat_tpu.models.builder import build_model
+
+            try:
+                accepts_geometry = "geometry" in inspect.signature(
+                    type(model).__call__
+                ).parameters
+                bb = build_model(dict(bb_cfg)) if accepts_geometry else None
+            except (TypeError, ValueError, KeyError):
+                bb = None
+            if bb is not None and hasattr(bb, "build_geometry_staged"):
+                self._geom_backbone = bb
 
     def _bucket(self, n: int) -> int:
         if self.buckets:
@@ -48,15 +74,34 @@ class FeatureExtractor:
             return self.buckets[-1]
         return max(self.patch_size, _round_up(n, self.patch_size))
 
+    def _split(self, bucket: int) -> bool:
+        return (
+            self._geom_backbone is not None and bucket >= self.split_threshold
+        )
+
     def _fn(self, bucket: int):
         if bucket not in self._jitted:
+            if self._split(bucket):
 
-            def fwd(variables, coord, feat, grid_coord, mask):
-                point = PointBatch(
-                    coord=coord, feat=feat, grid_coord=grid_coord, mask=mask
-                )
-                out = self.model.apply(variables, point, train=False)
-                return self.output_fn(out)
+                def fwd(variables, coord, feat, grid_coord, mask, geometry):
+                    point = PointBatch(
+                        coord=coord, feat=feat, grid_coord=grid_coord,
+                        mask=mask,
+                    )
+                    out = self.model.apply(
+                        variables, point, train=False, geometry=geometry
+                    )
+                    return self.output_fn(out)
+
+            else:
+
+                def fwd(variables, coord, feat, grid_coord, mask):
+                    point = PointBatch(
+                        coord=coord, feat=feat, grid_coord=grid_coord,
+                        mask=mask,
+                    )
+                    out = self.model.apply(variables, point, train=False)
+                    return self.output_fn(out)
 
             self._jitted[bucket] = jax.jit(fwd)
         return self._jitted[bucket]
@@ -71,13 +116,22 @@ class FeatureExtractor:
         def padded(x):
             return np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
 
-        out = self._fn(bucket)(
-            variables,
+        args = (
             padded(coord)[None],
             padded(feat)[None],
             padded(grid_coord)[None],
             mask[None],
         )
+        if self._split(bucket):
+            import jax.numpy as jnp
+
+            c, f, gc, m = (jnp.asarray(a) for a in args)
+            geometry = self._geom_backbone.build_geometry_staged(
+                PointBatch(coord=c, feat=f, grid_coord=gc, mask=m)
+            )
+            out = self._fn(bucket)(variables, c, f, gc, m, geometry)
+        else:
+            out = self._fn(bucket)(variables, *args)
         return np.asarray(out[0, :n])
 
     def __call__(self, variables, sample: Dict[str, np.ndarray]) -> np.ndarray:

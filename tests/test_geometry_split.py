@@ -98,6 +98,64 @@ def test_staged_geometry_matches_fused():
         assert (a == c).all()
 
 
+def test_feature_extractor_split_geometry_matches():
+    """FeatureExtractor with staged geometry (split_threshold hit) must match
+    the fused in-model path."""
+    import sys
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_model import tiny_backbone_cfg
+
+    from scenesplat_tpu.engines.infer import FeatureExtractor
+    from scenesplat_tpu.models import build_model
+
+    model = build_model(
+        dict(type="LangPretrainer", backbone=tiny_backbone_cfg())
+    )
+    rng = np.random.default_rng(5)
+    n = 300
+    coord = rng.uniform(0, 1.5, (n, 3)).astype(np.float32)
+    sample = {
+        "coord": coord,
+        "feat": rng.normal(size=(n, 5)).astype(np.float32),
+        "grid_coord": np.floor(coord / 0.02).astype(np.int32),
+    }
+    import jax.numpy as jnp
+
+    # init needs a patch-multiple point count (the extractor pads internally)
+    n_pad = ((n + 15) // 16) * 16
+    pad = n_pad - n
+
+    def padded(x):
+        return np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    mask_init = np.zeros(n_pad, bool)
+    mask_init[:n] = True
+    pb_init = __import__(
+        "scenesplat_tpu.models.structure", fromlist=["PointBatch"]
+    ).PointBatch(
+        coord=jnp.asarray(padded(coord))[None],
+        feat=jnp.asarray(padded(sample["feat"]))[None],
+        grid_coord=jnp.asarray(padded(sample["grid_coord"]))[None],
+        mask=jnp.asarray(mask_init)[None],
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
+        pb_init,
+        train=False,
+    )
+
+    fused = FeatureExtractor(model, patch_size=16, split_threshold=1 << 30)
+    staged = FeatureExtractor(model, patch_size=16, split_threshold=1)
+    assert staged._geom_backbone is not None
+    out_f = fused(variables, sample)
+    out_s = staged(variables, sample)
+    np.testing.assert_allclose(out_f, out_s, rtol=1e-5, atol=1e-6)
+
+
 def test_staged_geometry_chunked_conv(monkeypatch):
     """Tiny join budget forces multi-program conv plans; results unchanged."""
     import importlib
