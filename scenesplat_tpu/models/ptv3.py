@@ -545,6 +545,31 @@ def _geom_pool(ser, mask, coord, grid_coord, *, cap, pooling_depth, depth):
     return plan, new_coord, new_grid, new_ser
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cap", "pooling_depth", "depth", "z_idx")
+)
+def _geom_pool_conv(ser, mask, coord, grid_coord, *, cap, pooling_depth,
+                    depth, z_idx):
+    """Fused stage step: pooling + the pooled stage's k=3 conv plan in ONE
+    program. Every tunnel dispatch costs ~28 ms RPC floor and dispatches
+    serialize, so the staged path's program count is its throughput cap at
+    large N; the pooled k=3 join (28 x cap elements) fits the compile budget
+    whenever cap <= ~50k."""
+    plan, new_coord, new_grid, new_ser = _geom_pool(
+        ser, mask, coord, grid_coord, cap=cap, pooling_depth=pooling_depth,
+        depth=depth,
+    )
+    zs = (
+        (new_ser.code_hi[z_idx], new_ser.code_lo[z_idx], new_ser.order[z_idx])
+        if z_idx is not None
+        else None
+    )
+    conv_plan = build_subm_conv_plan(
+        new_grid, plan.out_mask, kernel_size=3, depth=depth, z_sorted=zs
+    )
+    return plan, new_coord, new_grid, new_ser, conv_plan
+
+
 def build_ptv3_geometry_staged(
     point: PointBatch,
     *,
@@ -577,19 +602,30 @@ def build_ptv3_geometry_staged(
     plans = []
     for s in range(1, num_stages):
         pooling_depth = (math.ceil(strides[s - 1]) - 1).bit_length()
-        plan, coord, grid_coord, ser = _geom_pool(
-            state.ser, state.mask, state.coord, state.grid_coord,
-            cap=capacities[s - 1], pooling_depth=pooling_depth, depth=depth,
-        )
-        zs = (
-            (ser.code_hi[z_idx], ser.code_lo[z_idx], ser.order[z_idx])
-            if has_z
-            else None
-        )
+        cap = capacities[s - 1]
+        if 28 * cap <= _JOIN_ELEMS_PER_PROGRAM:
+            # one dispatch for pooling + the stage's conv plan
+            plan, coord, grid_coord, ser, conv_plan = _geom_pool_conv(
+                state.ser, state.mask, state.coord, state.grid_coord,
+                cap=cap, pooling_depth=pooling_depth, depth=depth,
+                z_idx=z_idx,
+            )
+        else:
+            plan, coord, grid_coord, ser = _geom_pool(
+                state.ser, state.mask, state.coord, state.grid_coord,
+                cap=cap, pooling_depth=pooling_depth, depth=depth,
+            )
+            zs = (
+                (ser.code_hi[z_idx], ser.code_lo[z_idx], ser.order[z_idx])
+                if has_z
+                else None
+            )
+            conv_plan = _staged_conv_plan(
+                grid_coord, plan.out_mask, zs, k=3, depth=depth
+            )
         state = StageState(
             coord=coord, grid_coord=grid_coord, mask=plan.out_mask, ser=ser,
-            conv_plan=_staged_conv_plan(grid_coord, plan.out_mask, zs, k=3,
-                                        depth=depth),
+            conv_plan=conv_plan,
         )
         plans.append(plan)
         states.append(state)

@@ -223,28 +223,32 @@ def lookup_pair_batched(
             data_hi, data_lo, qhi, qlo, data_payload, qshape
         )
 
-    khi = jnp.concatenate([data_hi, qhi], axis=-1)
-    klo = jnp.concatenate([data_lo, qlo], axis=-1)
-    # flag 0 = data, 1 = query; as 3rd sort key it places data before equal
-    # queries, so a query's predecessor chain contains its match
+    # Rebalance the 48-bit (hi, lo) key one bit left and fold the data/query
+    # flag into the new LSB (data 0 < query 1, so a query's predecessor chain
+    # contains its match): khi' = hi<<1 | lo>>31 (hi uses <= 16 bits, no
+    # overflow), klo' = lo<<1 | flag. As in the packed path, a slot needs
+    # EITHER its qid (query) OR its payload (data), so one aux lane carries
+    # both — a 3-operand 2-key sort instead of 5-operand 3-key, and the
+    # second sort keys on aux directly (data aux >= 2^30 sorts last).
+    assert m < (1 << 30) and n < (1 << 30)
+    hi_all = jnp.concatenate([data_hi, qhi], axis=-1)
+    lo_all = jnp.concatenate([data_lo, qlo], axis=-1)
     flag = jnp.concatenate(
-        [jnp.zeros((b, n), jnp.int32), jnp.ones((b, m), jnp.int32)], axis=-1
+        [jnp.zeros((b, n), jnp.uint32), jnp.ones((b, m), jnp.uint32)], axis=-1
     )
-    qid = jnp.concatenate(
+    khi = (hi_all << 1) | (lo_all >> 31)
+    klo = (lo_all << 1) | flag
+    data_bit = jnp.uint32(1) << 30
+    aux = jnp.concatenate(
         [
-            jnp.full((b, n), m, jnp.int32),  # data slots sort after all queries
-            jax.lax.broadcasted_iota(jnp.int32, (b, m), 1),
+            data_payload.astype(jnp.uint32) | data_bit,
+            jax.lax.broadcasted_iota(jnp.uint32, (b, m), 1),
         ],
         axis=-1,
     )
-    payload = jnp.concatenate(
-        [data_payload.astype(jnp.int32), jnp.zeros((b, m), jnp.int32)], axis=-1
-    )
-    shi, slo, sflag, sqid, spay = sort_rows(
-        (khi, klo, flag, qid, payload), num_keys=3
-    )
+    shi, slo, saux = sort_rows((khi, klo, aux), num_keys=2)
 
-    is_data = sflag == 0
+    is_data = (slo & jnp.uint32(1)) == 0
 
     # "latest data entry before me" scan: key lanes for the equality check,
     # payload lane for the result, has_data lane for validity
@@ -258,48 +262,58 @@ def lookup_pair_batched(
             ad | bd,
         )
 
+    code_lo = slo >> 1 | (shi << 31)  # undo the rebalance: low 32 code bits
+    code_hi = shi >> 1
     lhi, llo, lpay, has_data = jax.lax.associative_scan(
         combine,
         (
-            jnp.where(is_data, shi, 0),
-            jnp.where(is_data, slo, 0),
-            jnp.where(is_data, spay, 0),
+            jnp.where(is_data, code_hi, 0),
+            jnp.where(is_data, code_lo, 0),
+            jnp.where(is_data, saux & (data_bit - 1), 0),
             is_data,
         ),
         axis=-1,
     )
-    found_sorted = has_data & pair_equal(lhi, llo, shi, slo) & ~is_data
-
-    # return to query order: sort by qid (data slots have qid=m, sort last)
-    _, pay_q, found_q = sort_rows(
-        (sqid, lpay, found_sorted.astype(jnp.int32)), num_keys=1
+    found_sorted = (
+        has_data & pair_equal(lhi, llo, code_hi, code_lo) & ~is_data
     )
-    out_pay = pay_q[:, :m].reshape(qshape)
-    found = (found_q[:, :m] > 0).reshape(qshape)
-    return out_pay, found
+
+    val = lpay | (found_sorted.astype(jnp.uint32) << 31)
+    _, val_q = sort_rows((saux, val), num_keys=1)
+    out_pay = (val_q[:, :m] & (data_bit - 1)).astype(jnp.int32)
+    found = (val_q[:, :m] >> 31) > 0
+    return out_pay.reshape(qshape), found.reshape(qshape)
 
 
 def _lookup_packed(data_hi, data_lo, qhi, qlo, data_payload, qshape):
     """Packed (depth <= 10) merge-join: codes fit the lo lane, so the sort key
-    is one uint32 with the data/query flag folded into its LSB — a 3-operand
-    1-key sort instead of 5-operand 3-key, and a 3-lane scan instead of 4."""
+    is one uint32 with the data/query flag folded into its LSB.
+
+    Both sorts carry a single aux lane — a slot needs EITHER its qid (query,
+    for the return-to-query-order sort) OR its payload (data, riding the
+    scan), never both, so aux = qid for queries and (1<<30)|payload for data
+    (qid < 2^30 since group rows cap at ~2^20 elements; payload < N < 2^30).
+    That makes each sort a 2-operand 2-key instance (the uniformly-fast
+    compile zone, see ops/pallas_sort.py:use_pallas_sort) and cuts sort data
+    movement by a third vs the previous 3-operand form. The second sort's key
+    IS aux: queries come back in qid order, data slots (aux >= 2^30) sort
+    after every query."""
     b, n = data_hi.shape
     m = qhi.shape[-1]
+    assert m < (1 << 30) and n < (1 << 30)
     sentinel = SENTINEL_PACKED  # even (data flag) and above any code<<1
     dkey = jnp.where(data_hi != 0, sentinel, data_lo << 1)
     qkey = (qlo << 1) | jnp.uint32(1)
     key = jnp.concatenate([dkey, qkey], axis=-1)
-    qid = jnp.concatenate(
+    data_bit = jnp.uint32(1) << 30
+    aux = jnp.concatenate(
         [
-            jnp.full((b, n), m, jnp.int32),
-            jax.lax.broadcasted_iota(jnp.int32, (b, m), 1),
+            data_payload.astype(jnp.uint32) | data_bit,
+            jax.lax.broadcasted_iota(jnp.uint32, (b, m), 1),
         ],
         axis=-1,
     )
-    payload = jnp.concatenate(
-        [data_payload.astype(jnp.int32), jnp.zeros((b, m), jnp.int32)], axis=-1
-    )
-    skey, sqid, spay = sort_rows((key, qid, payload), num_keys=1)
+    skey, saux = sort_rows((key, aux), num_keys=1)
     is_data = (skey & jnp.uint32(1)) == 0
     code = skey >> 1
 
@@ -314,15 +328,20 @@ def _lookup_packed(data_hi, data_lo, qhi, qlo, data_payload, qshape):
 
     lcode, lpay, has_data = jax.lax.associative_scan(
         combine,
-        (jnp.where(is_data, code, 0), jnp.where(is_data, spay, 0), is_data),
+        (
+            jnp.where(is_data, code, 0),
+            jnp.where(is_data, saux & (data_bit - 1), 0),
+            is_data,
+        ),
         axis=-1,
     )
     found_sorted = has_data & (lcode == code) & ~is_data & (skey != sentinel)
 
-    _, pay_q, found_q = sort_rows(
-        (sqid, lpay, found_sorted.astype(jnp.int32)), num_keys=1
-    )
-    return pay_q[:, :m].reshape(qshape), (found_q[:, :m] > 0).reshape(qshape)
+    val = lpay | (found_sorted.astype(jnp.uint32) << 31)
+    _, val_q = sort_rows((saux, val), num_keys=1)
+    pay = (val_q[:, :m] & (data_bit - 1)).astype(jnp.int32)
+    found = (val_q[:, :m] >> 31) > 0
+    return pay.reshape(qshape), found.reshape(qshape)
 
 
 def searchsorted_pair_batched(

@@ -49,7 +49,7 @@ def _fwd_kernel(qkv_ref, valid_ref, o_ref, *, scale):
     o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
 
 
-def _bwd_kernel(qkv_ref, valid_ref, do_ref, dqkv_ref, *, scale):
+def _bwd_kernel(qkv_ref, valid_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
     q = qkv_ref[0, 0, :, 0, :].astype(jnp.float32)
     k = qkv_ref[0, 0, :, 1, :].astype(jnp.float32)
     v = qkv_ref[0, 0, :, 2, :].astype(jnp.float32)
@@ -84,9 +84,13 @@ def _bwd_kernel(qkv_ref, valid_ref, do_ref, dqkv_ref, *, scale):
         ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dqkv_ref[0, 0, :, 0, :] = dq.astype(dqkv_ref.dtype)
-    dqkv_ref[0, 0, :, 1, :] = dk.astype(dqkv_ref.dtype)
-    dqkv_ref[0, 0, :, 2, :] = dv.astype(dqkv_ref.dtype)
+    # three [K, D] outputs: storing into the middle index of a (1,1,K,3,D)
+    # block needs a vector<KxD> -> vector<1x1xKx1xD> shape cast that Mosaic's
+    # layout inference rejects ("infer-vector-layout: unsupported shape
+    # cast"); separate 2-D tiles store cleanly
+    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
 
 
 def _reshape_heads(qkv_sorted, patch_size, num_heads):
@@ -164,7 +168,12 @@ def _fwa_bwd(patch_size, num_heads, scale, residuals, g):
 
     bh = b * num_heads
     grid = (bh, p)
-    dqkv_bh = pl.pallas_call(
+    grad_spec = pl.BlockSpec(
+        (1, 1, patch_size, d), lambda i, j: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grad_shape = jax.ShapeDtypeStruct((bh, p, patch_size, d), qkv_bh.dtype)
+    dq_bh, dk_bh, dv_bh = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
         grid=grid,
         in_specs=[
@@ -175,13 +184,11 @@ def _fwa_bwd(patch_size, num_heads, scale, residuals, g):
             pl.BlockSpec((1, 1, patch_size, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, patch_size, 3, d), lambda i, j: (i, j, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, p, patch_size, 3, d), qkv_bh.dtype),
+        out_specs=[grad_spec, grad_spec, grad_spec],
+        out_shape=[grad_shape, grad_shape, grad_shape],
     )(qkv_bh, valid_bh[:, :, None, :], do_bh)
 
+    dqkv_bh = jnp.stack([dq_bh, dk_bh, dv_bh], axis=3)  # [BH, P, K, 3, D]
     dqkv = dqkv_bh.reshape(b, num_heads, p, patch_size, 3, d)
     dqkv = dqkv.transpose(0, 2, 3, 4, 1, 5).reshape(b, n, 3, c)
     return dqkv, None
