@@ -16,6 +16,38 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Join a multi-host run (reference: engines/launch.py:29-136 + the SLURM
+    rendezvous in tools/train.py:24-60).
+
+    On TPU pods `jax.distributed.initialize()` discovers the coordinator from
+    the TPU metadata; elsewhere pass the coordinator explicitly (or set
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID). After this,
+    ``jax.devices()`` spans the pod and every mesh below is global — no NCCL
+    process groups, gloo side channels, or per-node subgroups.
+    """
+    import os
+
+    if jax.process_count() > 1:  # already initialized
+        return
+    kwargs = {}
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def create_mesh(
     n_devices: Optional[int] = None, axis_names: Sequence[str] = ("data",)
 ) -> Mesh:

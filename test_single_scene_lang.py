@@ -38,6 +38,9 @@ def main():
     parser.add_argument("--text-embeddings", default=None)
     parser.add_argument("--subsample", type=int, default=100000)
     parser.add_argument("--grid-size", type=float, default=0.02)
+    parser.add_argument("--save-features", action="store_true",
+                        help="persist outputs via save_inference_features_simple")
+    parser.add_argument("--results-dir", default="results")
     args = parser.parse_args()
 
     scenesplat_tpu.apply_platform_env()
@@ -141,6 +144,17 @@ def main():
             pred, prob = zero_shot_predict(out_feat, emb, confidence_threshold=0.0)
             uniq, counts = np.unique(pred, return_counts=True)
             step(f"   classes predicted: {dict(zip(uniq.tolist(), counts.tolist()))}")
+
+    if args.save_features:
+        step("7. saving features")
+        from save_inference_features_simple import save_inference_output_simple
+
+        save_inference_output_simple(
+            dict(point_feat=out_feat, coord=coord),
+            dict(feat=feat, coord=coord),
+            os.path.basename(os.path.normpath(args.scene)),
+            results_dir=args.results_dir,
+        )
 
     step("PASS")
     return 0

@@ -25,6 +25,12 @@ def default_argument_parser():
         "--options", nargs="*", default=None, help="key=value config overrides"
     )
     parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument(
+        "--multihost",
+        action="store_true",
+        help="join a multi-host TPU pod run (jax.distributed.initialize; "
+        "reference --multi_node, tools/train.py:24-60)",
+    )
     return parser
 
 
@@ -32,6 +38,11 @@ def main():
     args = default_argument_parser().parse_args()
     scenesplat_tpu.apply_platform_env()
     scenesplat_tpu.setup_compilation_cache()
+
+    if args.multihost:
+        from scenesplat_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost()
 
     from scenesplat_tpu.engines.train import build_trainer
     from scenesplat_tpu.utils.config import Config
