@@ -42,6 +42,7 @@ from scenesplat_tpu.ops.serialization import Serialization, take_along_points
 from scenesplat_tpu.ops.subm_conv import (
     SubMConvPlan,
     build_subm_conv_plan,
+    build_subm_conv_plan_dense,
     subm_conv_apply,
     subplan,
 )
@@ -409,6 +410,10 @@ class PTv3Geometry(NamedTuple):
     plans: Tuple[PoolingPlan, ...]  # one per pooling (num_stages - 1)
 
 
+def _shrunk_extent(extent, total_depth):
+    return tuple((e + (1 << total_depth) - 1) >> total_depth for e in extent)
+
+
 def build_ptv3_geometry(
     point: PointBatch,
     *,
@@ -418,10 +423,17 @@ def build_ptv3_geometry(
     strides: Sequence[int] = (2, 2, 2, 2),
     capacities: Sequence[int] = (),
     shuffle_rng: Optional[jax.Array] = None,
+    dense_extent: Optional[Tuple[int, int, int]] = None,
     pool_reduce_needs_coord: bool = True,
 ) -> PTv3Geometry:
     """Mirror of PTv3's in-forward geometry construction (serialization,
-    stem k=5 plan + per-stage k=3 plans, pooling cluster plans)."""
+    stem k=5 plan + per-stage k=3 plans, pooling cluster plans).
+
+    ``dense_extent``: when the scene's grid coords are bounded by a static
+    (ex, ey, ez), conv plans build via the dense-voxel-grid path
+    (ops.subm_conv.build_subm_conv_plan_dense, ~10x faster than the
+    merge-join sorts on TPU); extent shrinks with each pooling stride.
+    """
     if point.ser is None:
         point = point.serialized(orders, depth=depth, shuffle_rng=shuffle_rng)
     z_idx = orders.index("z") if "z" in orders else None
@@ -431,18 +443,28 @@ def build_ptv3_geometry(
             return None
         return (ser.code_hi[z_idx], ser.code_lo[z_idx], ser.order[z_idx])
 
-    stem_plan = build_subm_conv_plan(
-        point.grid_coord, point.mask, kernel_size=5, depth=depth,
-        z_sorted=_z_sorted(point.ser),
-    )
+    def conv_plan(grid_coord, mask, k, ser, total_depth):
+        if dense_extent is not None:
+            return build_subm_conv_plan_dense(
+                grid_coord, mask, kernel_size=k,
+                extent=_shrunk_extent(dense_extent, total_depth),
+            )
+        return build_subm_conv_plan(
+            grid_coord, mask, kernel_size=k, depth=depth,
+            z_sorted=_z_sorted(ser),
+        )
+
+    stem_plan = conv_plan(point.grid_coord, point.mask, 5, point.ser, 0)
     state = StageState(
         coord=point.coord, grid_coord=point.grid_coord, mask=point.mask,
         ser=point.ser, conv_plan=subplan(stem_plan, 3),
     )
     states = [state]
     plans = []
+    total_depth = 0
     for s in range(1, num_stages):
         pooling_depth = (math.ceil(strides[s - 1]) - 1).bit_length()
+        total_depth += pooling_depth
         plan = build_pooling_plan(
             state.ser, state.mask, capacities[s - 1], pooling_depth
         )
@@ -454,10 +476,7 @@ def build_ptv3_geometry(
                                  packed=depth <= 10)
         state = StageState(
             coord=coord, grid_coord=grid_coord, mask=plan.out_mask, ser=ser,
-            conv_plan=build_subm_conv_plan(
-                grid_coord, plan.out_mask, kernel_size=3, depth=depth,
-                z_sorted=_z_sorted(ser),
-            ),
+            conv_plan=conv_plan(grid_coord, plan.out_mask, 3, ser, total_depth),
         )
         plans.append(plan)
         states.append(state)
@@ -546,19 +565,25 @@ def _geom_pool(ser, mask, coord, grid_coord, *, cap, pooling_depth, depth):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cap", "pooling_depth", "depth", "z_idx")
+    jax.jit,
+    static_argnames=("cap", "pooling_depth", "depth", "z_idx", "dense_extent"),
 )
 def _geom_pool_conv(ser, mask, coord, grid_coord, *, cap, pooling_depth,
-                    depth, z_idx):
+                    depth, z_idx, dense_extent=None):
     """Fused stage step: pooling + the pooled stage's k=3 conv plan in ONE
     program. Every tunnel dispatch costs ~28 ms RPC floor and dispatches
     serialize, so the staged path's program count is its throughput cap at
     large N; the pooled k=3 join (28 x cap elements) fits the compile budget
-    whenever cap <= ~50k."""
+    whenever cap <= ~50k (any cap with the dense-grid plan)."""
     plan, new_coord, new_grid, new_ser = _geom_pool(
         ser, mask, coord, grid_coord, cap=cap, pooling_depth=pooling_depth,
         depth=depth,
     )
+    if dense_extent is not None:
+        conv_plan = build_subm_conv_plan_dense(
+            new_grid, plan.out_mask, kernel_size=3, extent=dense_extent
+        )
+        return plan, new_coord, new_grid, new_ser, conv_plan
     zs = (
         (new_ser.code_hi[z_idx], new_ser.code_lo[z_idx], new_ser.order[z_idx])
         if z_idx is not None
@@ -570,6 +595,12 @@ def _geom_pool_conv(ser, mask, coord, grid_coord, *, cap, pooling_depth,
     return plan, new_coord, new_grid, new_ser, conv_plan
 
 
+@functools.partial(jax.jit, static_argnames=("k", "extent"))
+def _geom_conv_dense(grid_coord, mask, *, k, extent):
+    return build_subm_conv_plan_dense(grid_coord, mask, kernel_size=k,
+                                      extent=extent)
+
+
 def build_ptv3_geometry_staged(
     point: PointBatch,
     *,
@@ -579,6 +610,7 @@ def build_ptv3_geometry_staged(
     strides: Sequence[int] = (2, 2, 2, 2),
     capacities: Sequence[int] = (),
     shuffle_rng: Optional[jax.Array] = None,
+    dense_extent: Optional[Tuple[int, int, int]] = None,
 ) -> PTv3Geometry:
     """build_ptv3_geometry semantics through per-step jitted programs."""
     orders = tuple(orders)
@@ -590,25 +622,37 @@ def build_ptv3_geometry_staged(
         )
     has_z = "z" in orders
     z_idx = orders.index("z") if has_z else None
-    z_sorted = _z_sorted_of(point.ser, orders)
-    stem_plan = _staged_conv_plan(
-        point.grid_coord, point.mask, z_sorted, k=5, depth=depth
-    )
+    if dense_extent is not None:
+        stem_plan = _geom_conv_dense(
+            point.grid_coord, point.mask, k=5, extent=tuple(dense_extent)
+        )
+    else:
+        z_sorted = _z_sorted_of(point.ser, orders)
+        stem_plan = _staged_conv_plan(
+            point.grid_coord, point.mask, z_sorted, k=5, depth=depth
+        )
     state = StageState(
         coord=point.coord, grid_coord=point.grid_coord, mask=point.mask,
         ser=point.ser, conv_plan=subplan(stem_plan, 3),
     )
     states = [state]
     plans = []
+    total_depth = 0
     for s in range(1, num_stages):
         pooling_depth = (math.ceil(strides[s - 1]) - 1).bit_length()
+        total_depth += pooling_depth
         cap = capacities[s - 1]
-        if 28 * cap <= _JOIN_ELEMS_PER_PROGRAM:
+        stage_extent = (
+            _shrunk_extent(dense_extent, total_depth)
+            if dense_extent is not None
+            else None
+        )
+        if stage_extent is not None or 28 * cap <= _JOIN_ELEMS_PER_PROGRAM:
             # one dispatch for pooling + the stage's conv plan
             plan, coord, grid_coord, ser, conv_plan = _geom_pool_conv(
                 state.ser, state.mask, state.coord, state.grid_coord,
                 cap=cap, pooling_depth=pooling_depth, depth=depth,
-                z_idx=z_idx,
+                z_idx=z_idx, dense_extent=stage_extent,
             )
         else:
             plan, coord, grid_coord, ser = _geom_pool(
@@ -675,6 +719,10 @@ class PointTransformerV3(nn.Module):
     remat_blocks: bool = False
     pool_reduce: str = "mean"
     serialization_depth: int = 16
+    # static (ex, ey, ez) bound on grid coords: enables the dense-voxel-grid
+    # conv-plan builder (~10x faster than merge-join sorts on TPU). Must
+    # cover every scene's grid extent; None = sort-based join path.
+    dense_extent: Optional[Tuple[int, int, int]] = None
     # static per-stage point-capacity fractions (upper bounds on cluster
     # counts after each stride-2 pooling; surfaces shrink ~4x per level)
     stage_capacity: Optional[Tuple[float, ...]] = None
@@ -712,6 +760,7 @@ class PointTransformerV3(nn.Module):
             strides=self.stride,
             capacities=self.geometry_capacities(point.num_points),
             shuffle_rng=shuffle_rng,
+            dense_extent=self.dense_extent,
         )
 
     def build_geometry_staged(
@@ -731,6 +780,7 @@ class PointTransformerV3(nn.Module):
             strides=self.stride,
             capacities=self.geometry_capacities(point.num_points),
             shuffle_rng=shuffle_rng,
+            dense_extent=self.dense_extent,
         )
 
     @nn.compact
@@ -791,15 +841,25 @@ class PointTransformerV3(nn.Module):
                 return None
             return (ser.code_hi[z_idx], ser.code_lo[z_idx], ser.order[z_idx])
 
+        def _conv_plan(grid_coord, mask, k, ser, total_depth):
+            if self.dense_extent is not None:
+                return build_subm_conv_plan_dense(
+                    grid_coord, mask, kernel_size=k,
+                    extent=_shrunk_extent(self.dense_extent, total_depth),
+                )
+            return build_subm_conv_plan(
+                grid_coord, mask, kernel_size=k,
+                depth=self.serialization_depth, z_sorted=_z_sorted(ser),
+            )
+
         if geometry is not None:
             stem_plan = geometry.stem_plan
             state = geometry.states[0]
         else:
             # ONE full-resolution merge-join builds the k=5 stem plan; the
             # k=3 xCPE plan for stage 0 is a 27-offset slice of it
-            stem_plan = build_subm_conv_plan(
-                point.grid_coord, point.mask, kernel_size=5,
-                depth=self.serialization_depth, z_sorted=_z_sorted(point.ser),
+            stem_plan = _conv_plan(
+                point.grid_coord, point.mask, 5, point.ser, 0
             )
             state = StageState(
                 coord=point.coord,
@@ -856,12 +916,14 @@ class PointTransformerV3(nn.Module):
                 if geometry is not None:
                     state = geometry.states[s]
                 else:
+                    total_depth = sum(
+                        (math.ceil(self.stride[t]) - 1).bit_length()
+                        for t in range(s)
+                    )
                     state = StageState(
                         coord=coord, grid_coord=grid_coord, mask=mask, ser=ser,
-                        conv_plan=build_subm_conv_plan(
-                            grid_coord, mask, kernel_size=3,
-                            depth=self.serialization_depth,
-                            z_sorted=_z_sorted(ser),
+                        conv_plan=_conv_plan(
+                            grid_coord, mask, 3, ser, total_depth
                         ),
                     )
             for i in range(self.enc_depths[s]):

@@ -29,20 +29,25 @@ def _fwd_kernel(qkv_ref, valid_ref, o_ref, *, scale):
     v = qkv_ref[0, 0, :, 2, :]
     valid = valid_ref[0, 0, 0, :]  # [K] int32
 
+    # inputs stay in their storage dtype (bf16 on the hot path): the MXU's
+    # fast path is low-precision operands with fp32 accumulation — upcasting
+    # operands to fp32 before the dot forces multi-pass fp32 matmuls. For
+    # bf16 inputs the products are exact in fp32 either way, so this changes
+    # nothing numerically vs the reference's upcast_softmax semantics.
     s = jax.lax.dot_general(
-        (q * scale).astype(jnp.float32),
-        k.astype(jnp.float32),
+        q * jnp.asarray(scale, q.dtype),
+        k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [K, K]
+    )  # [K, K] fp32
     bias = jnp.where(valid[None, :] > 0, 0.0, NEG_INF).astype(jnp.float32)
     s = s + bias
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p,
-        v.astype(jnp.float32),
+        p.astype(v.dtype),  # probabilities in storage dtype for the MXU
+        v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -50,21 +55,24 @@ def _fwd_kernel(qkv_ref, valid_ref, o_ref, *, scale):
 
 
 def _bwd_kernel(qkv_ref, valid_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
-    q = qkv_ref[0, 0, :, 0, :].astype(jnp.float32)
-    k = qkv_ref[0, 0, :, 1, :].astype(jnp.float32)
-    v = qkv_ref[0, 0, :, 2, :].astype(jnp.float32)
+    # operands stay in storage dtype for every dot (MXU fast path, see
+    # _fwd_kernel); softmax and the ds combination run in fp32
+    q = qkv_ref[0, 0, :, 0, :]
+    k = qkv_ref[0, 0, :, 1, :]
+    v = qkv_ref[0, 0, :, 2, :]
     valid = valid_ref[0, 0, 0, :]
-    do = do_ref[0, 0, :, :].astype(jnp.float32)
+    do = do_ref[0, 0, :, :]
 
     s = jax.lax.dot_general(
-        q * scale, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        q * jnp.asarray(scale, q.dtype), k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     bias = jnp.where(valid[None, :] > 0, 0.0, NEG_INF).astype(jnp.float32)
     s = s + bias
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
 
     dv = jax.lax.dot_general(
         p, do, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -73,9 +81,10 @@ def _bwd_kernel(qkv_ref, valid_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [K, K]
-    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - delta)
+    )  # [K, K] fp32
+    pf = p.astype(jnp.float32)
+    delta = jnp.sum(dp * pf, axis=-1, keepdims=True)
+    ds = (pf * (dp - delta)).astype(v.dtype)
     dq = scale * jax.lax.dot_general(
         ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

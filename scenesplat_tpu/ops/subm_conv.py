@@ -152,6 +152,90 @@ def build_subm_conv_plan(
     )
 
 
+def build_subm_conv_plan_dense(
+    grid_coord: jnp.ndarray,
+    mask: jnp.ndarray,
+    kernel_size: int,
+    extent: Tuple[int, int, int],
+) -> SubMConvPlan:
+    """Dense-voxel-grid neighbor plan: scatter each point's index into a
+    [B, ex, ey, ez] occupancy grid, then read every point's k^3 neighborhood
+    with contiguous-z row gathers.
+
+    ~10x faster than the sort-based merge-join on TPU (measured 4.3 ms vs
+    ~44 ms for the k=5 stem at N=32k): one 0.3 ms scatter replaces the
+    multi-million-element join sorts, and the k^2 row gathers of k
+    z-contiguous cells run at XLA's fast narrow-row gather rate. Costs a
+    transient ``4 * B * ex * ey * (ez + k - 1)`` byte buffer, so it requires a
+    static per-config ``extent`` that covers all grid coords — callers with
+    unbounded scenes use :func:`build_subm_conv_plan` instead. Points with
+    ``grid_coord`` outside ``extent`` would silently lose neighbor edges;
+    the data pipeline's GridSample bounds coords, and PTv3 exposes the
+    extent as an explicit config (``dense_extent``).
+
+    Matches :func:`build_subm_conv_plan` output exactly on one-point-per-voxel
+    inputs (GridSample's contract; duplicate-voxel inputs resolve arbitrarily
+    in both). Reference parity: spconv SubMConv3d's GPU hash table
+    (point_transformer_v3m1_base.py:277-287,498-507), rebuilt as a dense grid
+    because TPU scatter/gather beat device hash probes.
+    """
+    assert kernel_size % 2 == 1
+    b, n = mask.shape
+    r = kernel_size // 2
+    ex, ey, ez = extent
+    ezp = ez + 2 * r  # z padding: every in-extent column's k-row is in bounds
+    m = ex * ey * ezp
+    x = grid_coord[..., 0]
+    y = grid_coord[..., 1]
+    z = grid_coord[..., 2]
+
+    batch_off = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, n), 0) * m
+    )
+    flat = batch_off + ((x * ey + y) * ezp + (z + r))
+    in_extent = (
+        (x >= 0) & (x < ex) & (y >= 0) & (y < ey) & (z >= 0) & (z < ez)
+    )
+    scatter_idx = jnp.where(mask & in_extent, flat, b * m)
+    point_id = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1) + 1
+    grid = (
+        jnp.zeros((b * m + 1,), jnp.int32)
+        .at[scatter_idx.reshape(-1)]
+        .set(point_id.reshape(-1), mode="drop", unique_indices=True)
+    )
+
+    cz = jnp.clip(z, 0, ez - 1)  # keep gather rows in bounds for OOB points
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kernel_size), 2)
+    rows = []
+    valids = []
+    for dx in range(-r, r + 1):
+        qx = x + dx
+        vx = (qx >= 0) & (qx < ex)
+        cx = jnp.clip(qx, 0, ex - 1)
+        for dy in range(-r, r + 1):
+            qy = y + dy
+            vy = vx & (qy >= 0) & (qy < ey)
+            cy = jnp.clip(qy, 0, ey - 1)
+            # row start: z + dz0 + r = z (dz0 = -r); always in [0, ezp - k]
+            base = batch_off + (cx * ey + cy) * ezp + cz
+            idx = base[..., None] + col_iota  # [B, N, k]
+            row = grid.at[idx].get(mode="promise_in_bounds")
+            qz = z[..., None] + (col_iota - r)
+            vrow = vy[..., None] & (qz >= 0) & (qz < ez) & (z == cz)[..., None]
+            rows.append(row)
+            valids.append(vrow)
+    nbr = jnp.concatenate(rows, axis=-1)  # [B, N, K3] in product order
+    vld = jnp.concatenate(valids, axis=-1)
+    nbr = jnp.swapaxes(nbr, 1, 2)  # [B, K3, N]
+    vld = jnp.swapaxes(vld, 1, 2)
+    vld = vld & (nbr > 0) & mask[:, None, :]
+    return SubMConvPlan(
+        neighbor_index=jnp.maximum(nbr - 1, 0).astype(jnp.int32),
+        neighbor_valid=vld,
+        kernel_size=kernel_size,
+    )
+
+
 def subm_conv_apply(
     feat: jnp.ndarray,
     plan: SubMConvPlan,

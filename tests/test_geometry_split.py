@@ -199,3 +199,83 @@ def test_staged_geometry_chunked_conv(monkeypatch):
     for a, c in zip(jax.tree_util.tree_leaves(fused.plans),
                     jax.tree_util.tree_leaves(staged.plans)):
         assert (np.asarray(a) == np.asarray(c)).all()
+
+
+def test_dense_extent_geometry_matches_join():
+    """dense_extent conv plans must equal the merge-join plans end-to-end
+    (fused, staged, and inline-forward paths)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scenesplat_tpu.models import PointBatch, build_model
+    from scenesplat_tpu.models.ptv3 import (
+        build_ptv3_geometry, build_ptv3_geometry_staged,
+    )
+    from scenesplat_tpu.models.structure import PointBatch as PB
+
+    rng = np.random.default_rng(7)
+    b, n = 2, 768
+    # unique voxels per scene (GridSample contract)
+    gcs = []
+    for _ in range(b):
+        cells = rng.permutation(40 * 40 * 24)[:n]
+        gcs.append(np.stack(np.unravel_index(cells, (40, 40, 24)), -1))
+    grid_coord = np.stack(gcs).astype(np.int32)
+    coord = grid_coord * 0.05 + 0.01
+    mask = np.ones((b, n), bool)
+    mask[1, 700:] = False
+    point = PB(
+        coord=jnp.asarray(coord.astype(np.float32)),
+        feat=jnp.zeros((b, n, 3), jnp.float32),
+        grid_coord=jnp.asarray(grid_coord), mask=jnp.asarray(mask),
+    )
+    kw = dict(orders=("z", "hilbert"), depth=10, num_stages=3,
+              strides=(2, 2), capacities=(512, 256))
+    join = jax.jit(lambda p: build_ptv3_geometry(p, **kw))(point)
+    dense = jax.jit(
+        lambda p: build_ptv3_geometry(p, dense_extent=(40, 40, 24), **kw)
+    )(point)
+    staged = build_ptv3_geometry_staged(
+        point, dense_extent=(40, 40, 24), **kw
+    )
+    def check_conv_plan(pj, po):
+        vj = np.asarray(pj.neighbor_valid)
+        vo = np.asarray(po.neighbor_valid)
+        np.testing.assert_array_equal(vj, vo)
+        np.testing.assert_array_equal(
+            np.asarray(pj.neighbor_index)[vj], np.asarray(po.neighbor_index)[vj]
+        )
+
+    for other in (dense, staged):
+        check_conv_plan(join.stem_plan, other.stem_plan)
+        for sj, so in zip(join.states, other.states):
+            check_conv_plan(sj.conv_plan, so.conv_plan)
+            for fj, fo in zip(sj[:-1], so[:-1]):  # coord..ser fields
+                for a, c in zip(jax.tree_util.tree_leaves(fj),
+                                jax.tree_util.tree_leaves(fo)):
+                    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        for pj, po in zip(join.plans, other.plans):
+            for a, c in zip(jax.tree_util.tree_leaves(pj),
+                            jax.tree_util.tree_leaves(po)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    # inline forward with dense_extent == forward with join geometry
+    cfg = dict(
+        type="PT-v3m1", in_channels=3, order=("z", "hilbert"),
+        stride=(2, 2), enc_depths=(1, 1, 1), enc_channels=(8, 16, 24),
+        enc_num_head=(2, 2, 2), enc_patch_size=(16, 16, 16),
+        dec_depths=(1, 1), dec_channels=(8, 16), dec_num_head=(2, 2),
+        dec_patch_size=(16, 16), mlp_ratio=2, drop_path=0.0,
+        serialization_depth=10, use_pallas=False,
+    )
+    point = point.replace(feat=jnp.asarray(
+        rng.normal(size=(b, n, 3)).astype(np.float32)))
+    m_join = build_model(cfg)
+    m_dense = build_model(dict(cfg, dense_extent=(40, 40, 24)))
+    variables = m_join.init(jax.random.PRNGKey(0), point)
+    out_j = m_join.apply(variables, point)
+    out_d = m_dense.apply(variables, point)
+    np.testing.assert_allclose(
+        np.asarray(out_j.feat), np.asarray(out_d.feat), rtol=1e-5, atol=1e-6
+    )

@@ -108,3 +108,38 @@ def test_plan_packed_depth10(rng):
     np.testing.assert_array_equal(
         np.asarray(plan10.neighbor_index)[v], np.asarray(plan16.neighbor_index)[v]
     )
+
+
+def test_dense_plan_matches_bruteforce(rng):
+    gc, mask = make_scene(rng)
+    for k in (3, 5):
+        plan = subm_conv.build_subm_conv_plan_dense(
+            jnp.asarray(gc), jnp.asarray(mask), kernel_size=k,
+            extent=(16, 16, 16),
+        )
+        exp_idx, exp_valid = brute_force_plan(gc, mask, k)
+        np.testing.assert_array_equal(np.asarray(plan.neighbor_valid), exp_valid)
+        np.testing.assert_array_equal(
+            np.asarray(plan.neighbor_index)[exp_valid], exp_idx[exp_valid]
+        )
+
+
+def test_dense_plan_matches_join(rng):
+    """Dense-grid and merge-join builders agree on unique-voxel scenes."""
+    gc, mask = make_scene(rng, b=2, n=300, extent=14)
+    for k in (3, 5):
+        dense = subm_conv.build_subm_conv_plan_dense(
+            jnp.asarray(gc), jnp.asarray(mask), kernel_size=k,
+            extent=(14, 14, 14),
+        )
+        join = subm_conv.build_subm_conv_plan(
+            jnp.asarray(gc), jnp.asarray(mask), kernel_size=k, depth=10
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dense.neighbor_valid), np.asarray(join.neighbor_valid)
+        )
+        v = np.asarray(dense.neighbor_valid)
+        np.testing.assert_array_equal(
+            np.asarray(dense.neighbor_index)[v],
+            np.asarray(join.neighbor_index)[v],
+        )
