@@ -84,10 +84,19 @@ jax.block_until_ready(chain)
 
 
 def timeit(fn, iters=10):
+    # sync via scalar host fetch: block_until_ready is a NO-OP on the
+    # tunneled runtime; per-call timings then measure only the dispatch
+    # backpressure. A reduced-to-scalar fetch forces true completion.
+    def sync():
+        out = fn()
+        leaves = jax.tree_util.tree_leaves(out)
+        float(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves if hasattr(l, "astype")))
+
+    sync()
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        sync()
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 

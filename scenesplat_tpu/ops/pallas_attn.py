@@ -7,8 +7,21 @@ which calls flash_attn_varlen on GPU). On TPU each (batch, patch, head)
 program fits entirely in VMEM for patch sizes up to 1024, so no online
 softmax is needed: load q/k/v tiles, form the [K, K] score tile in VMEM,
 softmax in fp32, contract with v, and write [K, D] out — scores never touch
-HBM. Backward recomputes the softmax in-kernel (flash-style rematerialization)
-instead of saving the probability matrix.
+HBM.
+
+Layout: the qkv tensor is only *reshaped* to [B, P, K, 3, H, D] (a free
+view of the [B, N, 3, C] projection) and the per-head slicing happens in the
+BlockSpec index map — no HBM-round-trip transposes on either side of the
+kernel (the previous [B, H, P, K, 3, D] permute cost two full copies of the
+activation per attention). Backward recomputes the softmax in-kernel
+(flash-style rematerialization) instead of saving the probability matrix.
+
+MXU discipline: matmul operands stay in their storage dtype (bf16 on the hot
+path) with fp32 accumulation via preferred_element_type — upcasting operands
+to fp32 before the dot forces the slow multi-pass fp32 MXU path. For bf16
+inputs the products are exact in fp32 either way, and the probability matrix
+is cast to the storage dtype for the PV matmul exactly like the reference's
+fp16 flash-attn does.
 """
 
 from __future__ import annotations
@@ -24,44 +37,56 @@ NEG_INF = -1e9
 
 
 def _fwd_kernel(qkv_ref, valid_ref, o_ref, *, scale):
-    q = qkv_ref[0, 0, :, 0, :]
-    k = qkv_ref[0, 0, :, 1, :]
-    v = qkv_ref[0, 0, :, 2, :]
-    valid = valid_ref[0, 0, 0, :]  # [K] int32
+    valid = valid_ref[0, 0, :]  # [K] int32
 
-    # inputs stay in their storage dtype (bf16 on the hot path): the MXU's
-    # fast path is low-precision operands with fp32 accumulation — upcasting
-    # operands to fp32 before the dot forces multi-pass fp32 matmuls. For
-    # bf16 inputs the products are exact in fp32 either way, so this changes
-    # nothing numerically vs the reference's upcast_softmax semantics.
-    s = jax.lax.dot_general(
-        q * jnp.asarray(scale, q.dtype),
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [K, K] fp32
-    bias = jnp.where(valid[None, :] > 0, 0.0, NEG_INF).astype(jnp.float32)
-    s = s + bias
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype),  # probabilities in storage dtype for the MXU
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+    @pl.when(valid[0] > 0)  # padding sorts last: window is live iff slot 0 is
+    def _live():
+        q = qkv_ref[0, 0, :, 0, 0, :]
+        k = qkv_ref[0, 0, :, 1, 0, :]
+        v = qkv_ref[0, 0, :, 2, 0, :]
+        s = jax.lax.dot_general(
+            q * jnp.asarray(scale, q.dtype),
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [K, K] fp32
+        bias = jnp.where(valid[None, :] > 0, 0.0, NEG_INF).astype(jnp.float32)
+        s = s + bias
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, 0, :, 0, :] = o.astype(o_ref.dtype)
+
+    @pl.when(valid[0] == 0)  # all-padding window: zero output, skip matmuls
+    def _pad():
+        o_ref[0, 0, :, 0, :] = jnp.zeros_like(o_ref[0, 0, :, 0, :])
 
 
 def _bwd_kernel(qkv_ref, valid_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
-    # operands stay in storage dtype for every dot (MXU fast path, see
-    # _fwd_kernel); softmax and the ds combination run in fp32
-    q = qkv_ref[0, 0, :, 0, :]
-    k = qkv_ref[0, 0, :, 1, :]
-    v = qkv_ref[0, 0, :, 2, :]
-    valid = valid_ref[0, 0, 0, :]
-    do = do_ref[0, 0, :, :]
+    valid = valid_ref[0, 0, :]
+
+    @pl.when(valid[0] == 0)
+    def _pad():
+        dq_ref[0, 0, :, 0, :] = jnp.zeros_like(dq_ref[0, 0, :, 0, :])
+        dk_ref[0, 0, :, 0, :] = jnp.zeros_like(dk_ref[0, 0, :, 0, :])
+        dv_ref[0, 0, :, 0, :] = jnp.zeros_like(dv_ref[0, 0, :, 0, :])
+
+    @pl.when(valid[0] > 0)
+    def _live():
+        _bwd_live(qkv_ref, valid, do_ref, dq_ref, dk_ref, dv_ref, scale=scale)
+
+
+def _bwd_live(qkv_ref, valid, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
+    q = qkv_ref[0, 0, :, 0, 0, :]
+    k = qkv_ref[0, 0, :, 1, 0, :]
+    v = qkv_ref[0, 0, :, 2, 0, :]
+    do = do_ref[0, 0, :, 0, :]
 
     s = jax.lax.dot_general(
         q * jnp.asarray(scale, q.dtype), k,
@@ -93,23 +118,12 @@ def _bwd_kernel(qkv_ref, valid_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
         ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # three [K, D] outputs: storing into the middle index of a (1,1,K,3,D)
-    # block needs a vector<KxD> -> vector<1x1xKx1xD> shape cast that Mosaic's
-    # layout inference rejects ("infer-vector-layout: unsupported shape
-    # cast"); separate 2-D tiles store cleanly
-    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
-
-
-def _reshape_heads(qkv_sorted, patch_size, num_heads):
-    b, n, three, c = qkv_sorted.shape
-    d = c // num_heads
-    p = n // patch_size
-    # [B, N, 3, H, D] -> [B, H, P, K, 3, D] -> flatten BH
-    x = qkv_sorted.reshape(b, p, patch_size, three, num_heads, d)
-    x = x.transpose(0, 4, 1, 2, 3, 5)
-    return x.reshape(b * num_heads, p, patch_size, three, d)
+    # separate [K, D] outputs: storing into the middle index of a non-unit
+    # dim is an unsupported Mosaic shape cast ("infer-vector-layout"), so
+    # dq/dk/dv are distinct refs and the caller stacks them
+    dq_ref[0, 0, :, 0, :] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0, :, 0, :] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, :, 0, :] = dv.astype(dv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -119,27 +133,37 @@ def flash_window_attention(qkv_sorted, valid_sorted, patch_size, num_heads, scal
     return out
 
 
-def _pallas_fwd(qkv_bh, valid_bh, scale):
-    bh, p, k, three, d = qkv_bh.shape
-    grid = (bh, p)
-    return pl.pallas_call(
+def _views(qkv_sorted, valid_sorted, patch_size, num_heads):
+    b, n, three, c = qkv_sorted.shape
+    d = c // num_heads
+    p = n // patch_size
+    qkv6 = qkv_sorted.reshape(b, p, patch_size, 3, num_heads, d)
+    valid_p = valid_sorted.astype(jnp.int32).reshape(b, p, patch_size)
+    return qkv6, valid_p, b, p, d
+
+
+def _pallas_fwd(qkv6, valid_p, scale, num_heads):
+    b, p, k, three, h, d = qkv6.shape
+    grid = (b, p, h)
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, k, 3, d), lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, 1, k, 3, 1, d), lambda i, j, hh: (i, j, 0, 0, hh, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, k), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, k), lambda i, j, hh: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, k, d), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, k, 1, d), lambda i, j, hh: (i, j, 0, hh, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, p, k, d), qkv_bh.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, p, k, h, d), qkv6.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * p * k * k * d,
-            bytes_accessed=qkv_bh.size * qkv_bh.dtype.itemsize * 2,
-            transcendentals=bh * p * k * k,
+            flops=4 * b * p * h * k * k * d,
+            bytes_accessed=qkv6.size * qkv6.dtype.itemsize * 2,
+            transcendentals=b * p * h * k * k,
         ),
-    )(qkv_bh, valid_bh[:, :, None, :])
+    )(qkv6, valid_p)
+    return out  # [B, P, K, H, D]
 
 
 def _fwa_fwd(qkv_sorted, valid_sorted, patch_size, num_heads, scale):
@@ -147,17 +171,9 @@ def _fwa_fwd(qkv_sorted, valid_sorted, patch_size, num_heads, scale):
     d = c // num_heads
     if scale is None:
         scale = d**-0.5
-    p = n // patch_size
-    qkv_bh = _reshape_heads(qkv_sorted, patch_size, num_heads)
-    valid_p = valid_sorted.astype(jnp.int32).reshape(b, p, patch_size)
-    valid_bh = jnp.broadcast_to(
-        valid_p[:, None], (b, num_heads, p, patch_size)
-    ).reshape(b * num_heads, p, patch_size)
-
-    out_bh = _pallas_fwd(qkv_bh, valid_bh, scale)
-    out = out_bh.reshape(b, num_heads, p, patch_size, d)
-    out = out.transpose(0, 2, 3, 1, 4).reshape(b, n, c)
-    return out, (qkv_sorted, valid_sorted)
+    qkv6, valid_p, b, p, d = _views(qkv_sorted, valid_sorted, patch_size, num_heads)
+    out = _pallas_fwd(qkv6, valid_p, scale, num_heads)
+    return out.reshape(b, n, c), (qkv_sorted, valid_sorted)
 
 
 def _fwa_bwd(patch_size, num_heads, scale, residuals, g):
@@ -166,41 +182,32 @@ def _fwa_bwd(patch_size, num_heads, scale, residuals, g):
     d = c // num_heads
     if scale is None:
         scale = d**-0.5
-    p = n // patch_size
-    qkv_bh = _reshape_heads(qkv_sorted, patch_size, num_heads)
-    valid_p = valid_sorted.astype(jnp.int32).reshape(b, p, patch_size)
-    valid_bh = jnp.broadcast_to(
-        valid_p[:, None], (b, num_heads, p, patch_size)
-    ).reshape(b * num_heads, p, patch_size)
-    do = g.reshape(b, p, patch_size, num_heads, d).transpose(0, 3, 1, 2, 4)
-    do_bh = do.reshape(b * num_heads, p, patch_size, d)
+    qkv6, valid_p, b, p, d = _views(qkv_sorted, valid_sorted, patch_size, num_heads)
+    do = g.reshape(b, p, patch_size, num_heads, d)
 
-    bh = b * num_heads
-    grid = (bh, p)
+    grid = (b, p, num_heads)
     grad_spec = pl.BlockSpec(
-        (1, 1, patch_size, d), lambda i, j: (i, j, 0, 0),
+        (1, 1, patch_size, 1, d), lambda i, j, hh: (i, j, 0, hh, 0),
         memory_space=pltpu.VMEM,
     )
-    grad_shape = jax.ShapeDtypeStruct((bh, p, patch_size, d), qkv_bh.dtype)
-    dq_bh, dk_bh, dv_bh = pl.pallas_call(
+    grad_shape = jax.ShapeDtypeStruct((b, p, patch_size, num_heads, d), qkv6.dtype)
+    dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, patch_size, 3, d), lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, 1, patch_size, 3, 1, d),
+                         lambda i, j, hh: (i, j, 0, 0, hh, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, patch_size), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, patch_size), lambda i, j, hh: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, patch_size, d), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            grad_spec,
         ],
         out_specs=[grad_spec, grad_spec, grad_spec],
         out_shape=[grad_shape, grad_shape, grad_shape],
-    )(qkv_bh, valid_bh[:, :, None, :], do_bh)
+    )(qkv6, valid_p, do)
 
-    dqkv_bh = jnp.stack([dq_bh, dk_bh, dv_bh], axis=3)  # [BH, P, K, 3, D]
-    dqkv = dqkv_bh.reshape(b, num_heads, p, patch_size, 3, d)
-    dqkv = dqkv.transpose(0, 2, 3, 4, 1, 5).reshape(b, n, 3, c)
-    return dqkv, None
+    dqkv = jnp.stack([dq, dk, dv], axis=3)  # [B, P, K, 3, H, D]
+    return dqkv.reshape(b, n, 3, c), None
 
 
 flash_window_attention.defvjp(_fwa_fwd, _fwa_bwd)
