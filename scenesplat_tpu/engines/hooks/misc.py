@@ -60,6 +60,7 @@ class InformationWriter(HookBase):
     def after_step(self):
         storage = self.trainer.storage
         if storage.iter % self.log_interval == 0:
+            self.trainer.flush_metrics()  # pull deferred device metrics
             lr = storage.latest.get("lr")
             msgs = [
                 f"epoch {self.trainer.epoch + 1}/{self.trainer.max_epoch}",

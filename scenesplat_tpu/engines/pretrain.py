@@ -310,15 +310,14 @@ class DefaultSSLPreTrainer(Trainer):
                 device_batch[k] = v
         momentum = jnp.asarray(self.momentum_schedule(int(self.state.step)), jnp.float32)
         self.state, metrics = self._jit_step(self.state, device_batch, momentum)
-        self.storage.put_scalar("loss", float(metrics["loss"]))
-        self.storage.put_scalar("grad_norm", float(metrics["grad_norm"]))
-        for k in ("sim_dino_crops_loss", "sim_ibot_patch_loss", "global_mae_loss"):
-            if k in metrics:
-                self.storage.put_scalar(k, float(metrics[k]))
+        # deferred host fetch (see Trainer.run_step/flush_metrics)
+        self._pending_metrics.append((self.storage.iter, metrics))
         if self.lr_schedule is not None:
             self.storage.put_scalar(
                 "lr", float(self.lr_schedule(int(self.state.step) - 1))
             )
+        if len(self._pending_metrics) >= self.metric_flush_interval:
+            self.flush_metrics()
 
     def build_train_loader(self):
         from functools import partial

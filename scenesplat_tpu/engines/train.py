@@ -45,6 +45,11 @@ class TrainerBase:
         self.max_epoch = 0
         self.comm_info = {}
         self.storage: Optional[EventStorage] = None
+        self._pending_metrics = []
+        self.metric_flush_interval = 8
+
+    def flush_metrics(self):  # overridden by trainers that defer fetches
+        pass
 
     def register_hooks(self, hooks_cfg):
         self.hooks = build_hooks(hooks_cfg)
@@ -64,6 +69,7 @@ class TrainerBase:
                 self.before_epoch()
                 self.call_hooks("before_epoch")
                 self.run_epoch()
+                self.flush_metrics()
                 self.call_hooks("after_epoch")
             self.call_hooks("after_train")
             self.after_train()
@@ -103,6 +109,7 @@ class Trainer(TrainerBase):
             log_file=os.path.join(cfg.get("save_path", "exp/default"), "train.log")
         )
         self.max_epoch = cfg.get("epoch", 100)
+        self.metric_flush_interval = cfg.get("metric_flush_interval", 8)
         # mesh size must divide the global batch; use the largest such size
         batch_size = cfg.get("batch_size", 1)
         if not isinstance(batch_size, int) or batch_size < 1:
@@ -264,12 +271,36 @@ class Trainer(TrainerBase):
             )
         else:
             self.state, metrics = self._jit_step(self.state, device_batch)
-        self.storage.put_scalar("loss", float(metrics["loss"]))
-        self.storage.put_scalar("grad_norm", float(metrics["grad_norm"]))
+        # defer the host fetch: a float() per step would sync the tunnel's
+        # ~28 ms RPC every iteration and serialize dispatch with execution.
+        # Metrics stay on device and are fetched in one stacked transfer by
+        # flush_metrics() (log steps, epoch end, or every flush_interval).
+        self._pending_metrics.append((self.storage.iter, metrics))
         if self.lr_schedule is not None:
             self.storage.put_scalar(
                 "lr", float(self.lr_schedule(int(self.state.step) - 1))
             )
+        if len(self._pending_metrics) >= self.metric_flush_interval:
+            self.flush_metrics()
+
+    def flush_metrics(self):
+        """Fetch all pending device metrics in one transfer and backfill the
+        event storage at their recorded iterations."""
+        if not self._pending_metrics:
+            return
+        pending, self._pending_metrics = self._pending_metrics, []
+        keys = sorted(pending[0][1].keys())
+        stacked = np.asarray(
+            jnp.stack(
+                [
+                    jnp.stack([jnp.asarray(m[k], jnp.float32) for k in keys])
+                    for _, m in pending
+                ]
+            )
+        )  # [steps, keys] — single host fetch
+        for (it, _), row in zip(pending, stacked):
+            for k, v in zip(keys, row):
+                self.storage.put_scalar_at(k, float(v), it)
 
     def after_train(self):
         self.logger.info("training finished")

@@ -60,6 +60,14 @@ class EventStorage:
         self._iter = start_iter
         self._latest: Dict[str, float] = {}
 
+    def put_scalar_at(self, name: str, value: float, iteration: int):
+        """Record a scalar for a past iteration (deferred device-metric
+        flushes: the trainer batches host fetches instead of syncing every
+        step — see Trainer.flush_metrics)."""
+        value = float(value)
+        self._history[name].update(value, iteration)
+        self._latest[name] = value
+
     def put_scalar(self, name: str, value: float):
         value = float(value)
         self._history[name].update(value, self._iter)
