@@ -28,7 +28,6 @@ import jax.numpy as jnp
 from .bitops import SENTINEL_HI, lookup_pair_batched
 from .pallas_sort import sort_rows
 from .curves import z_order_encode
-from .serialization import take_along_points
 
 
 class SubMConvPlan(NamedTuple):
@@ -236,6 +235,19 @@ def build_subm_conv_plan_dense(
     )
 
 
+def _gather_rows_masked(feat, indices, valid):
+    """Row gather that folds the validity mask into the index: invalid slots
+    gather out-of-bounds and fill with zeros. Saves a full [N, C] elementwise
+    masking pass per kernel offset (27-125 of them per conv — ~1.3 GB of VPU
+    traffic per dec0 conv at 32k)."""
+    b, n = feat.shape[:2]
+    flat = feat.reshape((b * n,) + feat.shape[2:])
+    base = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) * n
+    idx = jnp.where(valid, indices.astype(jnp.int32) + base, b * n)
+    out = jnp.take(flat, idx.reshape(-1), axis=0, mode="fill", fill_value=0)
+    return out.reshape((b, indices.shape[1]) + feat.shape[2:])
+
+
 def subm_conv_apply(
     feat: jnp.ndarray,
     plan: SubMConvPlan,
@@ -253,8 +265,9 @@ def subm_conv_apply(
     assert k3 == plan.neighbor_index.shape[1]
     out = None
     for k in range(k3):
-        g = take_along_points(feat, plan.neighbor_index[:, k])
-        g = g * plan.neighbor_valid[:, k][..., None].astype(feat.dtype)
+        g = _gather_rows_masked(
+            feat, plan.neighbor_index[:, k], plan.neighbor_valid[:, k]
+        )
         term = jnp.einsum(
             "bnc,cd->bnd", g, weight[k], preferred_element_type=jnp.float32
         )
@@ -278,8 +291,9 @@ def subm_dwconv_apply(
     assert k3 == plan.neighbor_index.shape[1]
     out = None
     for k in range(k3):
-        g = take_along_points(feat, plan.neighbor_index[:, k])
-        g = g * plan.neighbor_valid[:, k][..., None].astype(feat.dtype)
+        g = _gather_rows_masked(
+            feat, plan.neighbor_index[:, k], plan.neighbor_valid[:, k]
+        )
         term = g * weight[k].astype(feat.dtype)
         out = term if out is None else out + term
     if bias is not None:

@@ -70,6 +70,27 @@ def test_pallas_matches_reference(rng):
     np.testing.assert_allclose(got[m], expected[m], rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_head_group_fallback(rng):
+    # c=192, d=64: lcm(64,128)=128 does not divide 192, so the kernel must
+    # fall back to one full-C group instead of silently dropping channels
+    qkv, valid = make_inputs(rng, b=1, n=64, patch=32, heads=3, d=64)
+    patch, heads = 32, 3
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            wa.window_attention(
+                jnp.asarray(qkv), jnp.asarray(valid), patch, heads,
+                use_pallas=True,
+            )
+        )
+    expected = np.asarray(
+        wa.window_attention_reference(
+            jnp.asarray(qkv), jnp.asarray(valid), patch, heads
+        )
+    )
+    m = valid
+    np.testing.assert_allclose(got[m], expected[m], rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_gradients_match(rng):
     qkv, valid = make_inputs(rng, b=1, n=64, patch=16, heads=2, d=4)
     patch, heads = 16, 2
