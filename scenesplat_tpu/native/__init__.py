@@ -21,11 +21,20 @@ _LIB = None
 
 def _build():
     src = os.path.join(_HERE, "host_ops.cpp")
+    # compile to a unique temp path, then atomically rename: concurrent
+    # processes (e.g. parallel pytest runs) must never mmap a half-written
+    # .so, and a process already executing the old library keeps its mapping
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        src, "-o", _SO,
+        src, "-o", tmp,
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load():

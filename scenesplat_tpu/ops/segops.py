@@ -200,7 +200,18 @@ def pool_serialization(
     lo = jnp.take_along_axis(ser.code_lo, head, axis=-1)
     hi, lo = pair_shift_right(hi, lo, 3 * pooling_depth)
     hi = jnp.where(plan.out_mask[None], hi, SENTINEL_HI)
-    order, inverse = sort_codes(hi, lo, packed=packed)
+    # curve 0 (physically always "z", see Serialization.perm) needs no sort:
+    # clusters are numbered along the sorted curve-0 codes, right-shift is
+    # order-preserving, distinct clusters have distinct parent codes, and
+    # invalid slots (SENTINEL_HI) are a trailing suffix — so the pooled
+    # curve-0 codes are already ascending and order = inverse = iota.
+    iota = jax.lax.broadcasted_iota(jnp.int32, hi.shape[1:], 1)[None]
+    if s > 1:
+        order_rest, inverse_rest = sort_codes(hi[1:], lo[1:], packed=packed)
+        order = jnp.concatenate([iota, order_rest], axis=0)
+        inverse = jnp.concatenate([iota, inverse_rest], axis=0)
+    else:
+        order = inverse = iota
     return Serialization(
         code_hi=hi, code_lo=lo, order=order, inverse=inverse, perm=ser.perm
     )

@@ -101,6 +101,12 @@ def test_pool_serialization_and_unpool(rng):
             key = hi[sorted_idx].astype(np.uint64) << np.uint64(24)
             key = key + lo[sorted_idx]
             assert (np.diff(key.astype(np.int64)) >= 0).all()
+            # inverse is the true inverse permutation of order
+            order_s = np.asarray(pser.order[s, bi])
+            inverse_s = np.asarray(pser.inverse[s, bi])
+            np.testing.assert_array_equal(
+                order_s[inverse_s], np.arange(order_s.size)
+            )
 
     # unpool broadcasts cluster values back to members
     cvals = rng.normal(size=(2, 128, 3)).astype(np.float32)
