@@ -18,6 +18,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from scenesplat_tpu.data.transforms import trng
+
 PAD_VALUES = {
     "segment": -1,
     "instance": -1,
@@ -47,7 +49,7 @@ def pad_sample(sample: Dict[str, np.ndarray], target_n: int) -> Dict[str, np.nda
     n = sample["coord"].shape[0]
     out = {}
     if n > target_n:
-        keep = np.random.choice(n, target_n, replace=False)
+        keep = trng().choice(n, target_n, replace=False)
         sample = {
             k: (v[keep] if isinstance(v, np.ndarray) and v.shape[:1] == (n,) and not k.startswith(("pc_", "origin_")) else v)
             for k, v in sample.items()
@@ -110,7 +112,7 @@ def collate_padded(
         it = iter(samples)
         for a in it:
             b = next(it, None)
-            if b is not None and np.random.rand() < mix_prob:
+            if b is not None and trng().random() < mix_prob:
                 mixed.append(_merge_two(a, b))
             else:
                 mixed.append(a)

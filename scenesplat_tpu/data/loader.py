@@ -18,6 +18,7 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from .collate import collate_padded
+from .transforms import seed_transforms
 
 
 class Loader:
@@ -63,6 +64,14 @@ class Loader:
             rng.shuffle(idx)
         return idx
 
+    def _fetch(self, i: int):
+        # per-sample thread-local seeding: augmentation draws are a pure
+        # function of (seed, epoch, sample index), independent of worker
+        # count / thread scheduling (the reference gets this from
+        # per-process workers + worker_init_fn, engines/defaults.py:142-152)
+        seed_transforms((self.seed, self.epoch, i, 0))
+        return self.dataset[i]
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._index_order()
         nb = len(self)
@@ -72,7 +81,7 @@ class Loader:
             def submit(bi):
                 spb = self.samples_per_batch
                 batch_idx = order[bi * spb : (bi + 1) * spb]
-                futures = [pool.submit(self.dataset.__getitem__, int(i)) for i in batch_idx]
+                futures = [pool.submit(self._fetch, int(i)) for i in batch_idx]
                 pending.put(futures)
 
             ahead = min(2, nb)
@@ -83,6 +92,8 @@ class Loader:
                 if bi + ahead < nb:
                     submit(bi + ahead)
                 samples = [f.result() for f in futures]
+                # main-thread stream for collate's Mix3D / downsample draws
+                seed_transforms((self.seed, self.epoch, bi, 1))
                 if self.collate_fn is not None:
                     yield self.collate_fn(samples)
                 else:

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import copy
 import numbers
-import random
+import threading
 from collections.abc import Mapping, Sequence
 
 import numpy as np
@@ -28,6 +28,32 @@ import numpy as np
 from scenesplat_tpu.utils.registry import Registry
 
 TRANSFORMS = Registry("transforms")
+
+# Per-thread transform RNG. The loaders run dataset fetches on a thread pool
+# where the transforms execute concurrently; a process-global RNG would make
+# the draw-to-sample assignment depend on thread scheduling. Seeding a
+# thread-local generator per sample — seed_transforms((seed, epoch, index))
+# before each fetch — makes augmentation deterministic regardless of worker
+# count, the property the reference gets from per-process DataLoader workers
+# + worker_init_fn (pointcept/engines/defaults.py:142-152).
+_TLS = threading.local()
+
+
+def seed_transforms(entropy) -> None:
+    """Seed this thread's transform RNG; ``entropy`` is an int or tuple."""
+    if not isinstance(entropy, (tuple, list)):
+        entropy = (int(entropy),)
+    _TLS.rng = np.random.default_rng(
+        np.random.SeedSequence([int(e) & (2**63 - 1) for e in entropy])
+    )
+
+
+def trng() -> np.random.Generator:
+    """This thread's transform RNG (fresh OS-entropy generator if unseeded)."""
+    rng = getattr(_TLS, "rng", None)
+    if rng is None:
+        rng = _TLS.rng = np.random.default_rng()
+    return rng
 
 # keys indexed per-point in the working resolution (pc_* / origin_* keys hold
 # the separate full-resolution point cloud and are never cropped with these)
@@ -256,7 +282,7 @@ class RandomShift:
 
     def __call__(self, data_dict):
         if "coord" in data_dict:
-            s = [np.random.uniform(lo, hi) for lo, hi in self.shift]
+            s = [trng().uniform(lo, hi) for lo, hi in self.shift]
             data_dict["coord"] = data_dict["coord"] + np.asarray(s)
         return data_dict
 
@@ -283,9 +309,9 @@ class RandomDropout:
         self.dropout_application_ratio = dropout_application_ratio
 
     def __call__(self, data_dict):
-        if random.random() < self.dropout_application_ratio:
+        if trng().random() < self.dropout_application_ratio:
             n = len(data_dict["coord"])
-            idx = np.random.choice(n, int(n * (1 - self.dropout_ratio)), replace=False)
+            idx = trng().choice(n, int(n * (1 - self.dropout_ratio)), replace=False)
             _subset(data_dict, idx)
         return data_dict
 
@@ -299,9 +325,9 @@ class RandomRotate:
         self.center = center
 
     def __call__(self, data_dict):
-        if random.random() > self.p:
+        if trng().random() > self.p:
             return data_dict
-        angle = np.random.uniform(self.angle[0], self.angle[1]) * np.pi
+        angle = trng().uniform(self.angle[0], self.angle[1]) * np.pi
         return _apply_rotation(data_dict, self.axis, angle, self.center)
 
 
@@ -315,9 +341,9 @@ class RandomRotateTargetAngle:
         self.center = center
 
     def __call__(self, data_dict):
-        if random.random() > self.p:
+        if trng().random() > self.p:
             return data_dict
-        angle = np.random.choice(self.angle) * np.pi
+        angle = trng().choice(self.angle) * np.pi
         return _apply_rotation(data_dict, self.axis, angle, self.center)
 
 
@@ -346,7 +372,7 @@ class RandomScale:
 
     def __call__(self, data_dict):
         if "coord" in data_dict:
-            scale = np.random.uniform(
+            scale = trng().uniform(
                 self.scale[0], self.scale[1], 3 if self.anisotropic else 1
             )
             data_dict["coord"] = data_dict["coord"] * scale
@@ -366,7 +392,7 @@ class RandomFlip:
         r_reflect = np.eye(3)
         flipped = False
         for axis in (0, 1):
-            if np.random.rand() < self.p:
+            if trng().random() < self.p:
                 reflect = np.eye(3)
                 reflect[axis, axis] = -1
                 r_reflect = reflect @ r_reflect
@@ -395,7 +421,7 @@ class RandomJitter:
     def __call__(self, data_dict):
         if "coord" in data_dict:
             jitter = np.clip(
-                self.sigma * np.random.randn(data_dict["coord"].shape[0], 3),
+                self.sigma * trng().standard_normal((data_dict["coord"].shape[0], 3)),
                 -self.clip, self.clip,
             )
             data_dict["coord"] = data_dict["coord"] + jitter
@@ -410,7 +436,7 @@ class ClipGaussianJitter:
 
     def __call__(self, data_dict):
         if "coord" in data_dict:
-            jitter = np.random.multivariate_normal(
+            jitter = trng().multivariate_normal(
                 np.zeros(3), np.identity(3), data_dict["coord"].shape[0]
             )
             jitter = self.scalar * np.clip(jitter / 1.96, -1, 1)
@@ -440,7 +466,7 @@ class ElasticDistortion:
         ]
         coords_min = coords.min(0)
         noise_dim = ((coords - coords_min).max(0) // granularity).astype(int) + 3
-        noise = np.random.randn(*noise_dim, 3).astype(np.float32)
+        noise = trng().standard_normal((*noise_dim, 3)).astype(np.float32)
         for _ in range(2):
             for blur in blurs:
                 noise = scipy.ndimage.convolve(noise, blur, mode="constant", cval=0)
@@ -459,7 +485,7 @@ class ElasticDistortion:
 
     def __call__(self, data_dict):
         if "coord" in data_dict and self.distortion_params is not None:
-            if random.random() < 0.95:
+            if trng().random() < 0.95:
                 for granularity, magnitude in self.distortion_params:
                     data_dict["coord"] = self.elastic_distortion(
                         data_dict["coord"], granularity, magnitude
@@ -474,12 +500,12 @@ class ChromaticAutoContrast:
         self.blend_factor = blend_factor
 
     def __call__(self, data_dict):
-        if "color" in data_dict and np.random.rand() < self.p:
+        if "color" in data_dict and trng().random() < self.p:
             lo = np.min(data_dict["color"], 0, keepdims=True)
             hi = np.max(data_dict["color"], 0, keepdims=True)
             scale = 255 / np.maximum(hi - lo, 1e-6)
             contrast = (data_dict["color"][:, :3] - lo) * scale
-            blend = np.random.rand() if self.blend_factor is None else self.blend_factor
+            blend = trng().random() if self.blend_factor is None else self.blend_factor
             data_dict["color"][:, :3] = (
                 (1 - blend) * data_dict["color"][:, :3] + blend * contrast
             )
@@ -493,8 +519,8 @@ class ChromaticTranslation:
         self.ratio = ratio
 
     def __call__(self, data_dict):
-        if "color" in data_dict and np.random.rand() < self.p:
-            tr = (np.random.rand(1, 3) - 0.5) * 255 * 2 * self.ratio
+        if "color" in data_dict and trng().random() < self.p:
+            tr = (trng().random((1, 3)) - 0.5) * 255 * 2 * self.ratio
             data_dict["color"][:, :3] = np.clip(tr + data_dict["color"][:, :3], 0, 255)
         return data_dict
 
@@ -506,8 +532,8 @@ class ChromaticJitter:
         self.std = std
 
     def __call__(self, data_dict):
-        if "color" in data_dict and np.random.rand() < self.p:
-            noise = np.random.randn(data_dict["color"].shape[0], 3) * self.std * 255
+        if "color" in data_dict and trng().random() < self.p:
+            noise = trng().standard_normal((data_dict["color"].shape[0], 3)) * self.std * 255
             data_dict["color"][:, :3] = np.clip(
                 noise + data_dict["color"][:, :3], 0, 255
             )
@@ -520,7 +546,7 @@ class RandomColorGrayScale:
         self.p = p
 
     def __call__(self, data_dict):
-        if "color" in data_dict and np.random.rand() < self.p:
+        if "color" in data_dict and trng().random() < self.p:
             r, g, b = (data_dict["color"][..., i] for i in range(3))
             gray = (0.2989 * r + 0.587 * g + 0.114 * b).astype(
                 data_dict["color"].dtype
@@ -538,7 +564,7 @@ class RandomColorDrop:
         self.color_augment = color_augment
 
     def __call__(self, data_dict):
-        if "color" in data_dict and np.random.rand() < self.p:
+        if "color" in data_dict and trng().random() < self.p:
             data_dict["color"] = data_dict["color"] * self.color_augment
         return data_dict
 
@@ -550,7 +576,7 @@ class RandomColorSolarize:
         self.threshold = threshold
 
     def __call__(self, data_dict):
-        if "color" in data_dict and np.random.rand() < self.p:
+        if "color" in data_dict and trng().random() < self.p:
             color = data_dict["color"]
             data_dict["color"] = np.where(color < self.threshold, color, 255 - color)
         return data_dict
@@ -605,8 +631,8 @@ class HueSaturationTranslation:
         if "color" in data_dict:
             color = np.asarray(data_dict["color"])
             hsv = _rgb_to_hsv(color[:, :3])
-            hue_val = (np.random.rand() - 0.5) * 2 * self.hue_max
-            sat_ratio = 1 + (np.random.rand() - 0.5) * 2 * self.saturation_max
+            hue_val = (trng().random() - 0.5) * 2 * self.hue_max
+            sat_ratio = 1 + (trng().random() - 0.5) * 2 * self.saturation_max
             hsv[..., 0] = (hsv[..., 0] + hue_val) % 1.0
             hsv[..., 1] = np.clip(sat_ratio * hsv[..., 1], 0, 1)
             data_dict["color"][:, :3] = np.clip(_hsv_to_rgb(hsv), 0, 255).astype(
@@ -664,15 +690,15 @@ class RandomColorJitter:
             return data_dict
         factors = {
             0: None if self.brightness is None
-            else np.random.uniform(*self.brightness),
-            1: None if self.contrast is None else np.random.uniform(*self.contrast),
+            else trng().uniform(*self.brightness),
+            1: None if self.contrast is None else trng().uniform(*self.contrast),
             2: None if self.saturation is None
-            else np.random.uniform(*self.saturation),
-            3: None if self.hue is None else np.random.uniform(*self.hue),
+            else trng().uniform(*self.saturation),
+            3: None if self.hue is None else trng().uniform(*self.hue),
         }
-        for fn_id in np.random.permutation(4):
+        for fn_id in trng().permutation(4):
             f = factors[int(fn_id)]
-            if f is None or np.random.rand() >= self.p:
+            if f is None or trng().random() >= self.p:
                 continue
             color = data_dict["color"]
             if fn_id == 0:  # brightness
@@ -694,7 +720,7 @@ class RandomColorJitter:
 class ShufflePoint:
     def __call__(self, data_dict):
         assert "coord" in data_dict
-        idx = np.random.permutation(data_dict["coord"].shape[0])
+        idx = trng().permutation(data_dict["coord"].shape[0])
         return _subset(data_dict, idx)
 
 
@@ -728,7 +754,7 @@ class SphereCrop:
         if n <= point_max or self.mode == "all":
             return data_dict
         if self.mode == "random":
-            center = data_dict["coord"][np.random.randint(n)]
+            center = data_dict["coord"][int(trng().integers(n))]
         else:
             center = data_dict["coord"][n // 2]
         d2 = np.sum(np.square(data_dict["coord"] - center), 1)
@@ -751,11 +777,11 @@ class SphereCropRandomMaxPoints:
 
     def __call__(self, data_dict):
         if self.random_scale is not None:
-            scale = np.random.uniform(*self.random_scale)
+            scale = trng().uniform(*self.random_scale)
             budget = int(scale * (self.point_max or data_dict["coord"].shape[0]))
         else:
             lo, hi = self.max_points or (80000, 120000)
-            budget = int(np.random.randint(lo, hi + 1))
+            budget = int(int(trng().integers(lo, hi + 1)))
         return SphereCrop(point_max=max(budget, 1), mode=self.mode)(data_dict)
 
 
@@ -842,7 +868,7 @@ class GridSample:
 
                 if native.available():
                     idx_unique, cell = native.grid_sample_train(
-                        grid_coord, seed=np.random.randint(0, 2**31 - 1)
+                        grid_coord, seed=int(trng().integers(0, 2**31 - 1))
                     )
                     if self.return_inverse:
                         data_dict["inverse"] = cell
@@ -864,7 +890,7 @@ class GridSample:
             if self.importance_sample_key is None:
                 idx_select = (
                     np.cumsum(np.insert(count, 0, 0)[0:-1])
-                    + np.random.randint(0, count.max(), count.size) % count
+                    + trng().integers(0, count.max(), count.size) % count
                 )
                 idx_unique = idx_sort[idx_select]
             else:
@@ -1074,14 +1100,14 @@ class GSGaussianBlurVoxelOpc:
         self.extra_keys = tuple(extra_keys or ())
 
     def __call__(self, data_dict):
-        if np.random.rand() >= self.p:
+        if trng().random() >= self.p:
             return data_dict
         import scipy.ndimage
 
         assert "grid_coord" in data_dict, "GridSample(return_grid_coord) required"
         grid_coord = data_dict["grid_coord"]
         opacity = np.asarray(data_dict["opacity"]).reshape(-1)
-        sigma = np.random.uniform(self.sigma[0], self.sigma[1])
+        sigma = trng().uniform(self.sigma[0], self.sigma[1])
 
         blur_mask = opacity > 0.5
         if not blur_mask.any():
@@ -1130,14 +1156,14 @@ class GSGaussianBlurVoxelGPU:
         self.sigma = sigma
 
     def __call__(self, data_dict):
-        if np.random.rand() >= self.p:
+        if trng().random() >= self.p:
             return data_dict
         import scipy.ndimage
 
         assert "grid_coord" in data_dict, "GridSample(return_grid_coord) required"
         grid_coord = np.asarray(data_dict["grid_coord"])
         color = np.asarray(data_dict["color"], np.float32)
-        radius = round(4.0 * np.random.uniform(self.sigma[0], self.sigma[1]))
+        radius = round(4.0 * trng().uniform(self.sigma[0], self.sigma[1]))
         if radius <= 0:
             return data_dict
         gmin = grid_coord.min(axis=0)

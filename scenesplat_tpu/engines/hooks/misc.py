@@ -249,7 +249,8 @@ class PreciseEvaluator(HookBase):
         patch = max(backbone_cfg.get("enc_patch_size", [1024]))
         for tc, dc in zip(test_cfgs, data_cfgs):
             tester = build_tester(
-                tc, self.trainer.model, variables, dc, patch_size=patch
+                tc, self.trainer.model, variables, dc, patch_size=patch,
+                seed=cfg.get("seed", 0),
             )
             tester.test()
 

@@ -17,6 +17,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from scenesplat_tpu.data import build_dataset
+from scenesplat_tpu.data.transforms import seed_transforms
 from scenesplat_tpu.engines.eval import (
     ZeroShotMetric,
     load_class_names,
@@ -31,13 +32,15 @@ TESTERS = Registry("testers")
 
 
 class TesterBase:
-    def __init__(self, model, variables, dataset_cfg, patch_size=1024, verbose=False):
+    def __init__(self, model, variables, dataset_cfg, patch_size=1024,
+                 verbose=False, seed=0):
         self.model = model
         self.variables = variables
         self.dataset = build_dataset(dict(dataset_cfg))
         self.extractor = FeatureExtractor(model, patch_size=patch_size)
         self.logger = get_root_logger()
         self.verbose = verbose
+        self.seed = int(seed)  # transform-RNG seed for scene fetches
 
 
 @TESTERS.register_module()
@@ -84,6 +87,7 @@ class ZeroShotSemSegTester(TesterBase):
         if self.max_scenes:
             n_scenes = min(n_scenes, self.max_scenes)
         for i in range(n_scenes):
+            seed_transforms((self.seed, i))
             scene = self.dataset[i]
             name = scene.get("name", f"scene{i}")
             segment = np.asarray(scene["segment"]).reshape(-1)
@@ -185,6 +189,7 @@ class ClsTester(TesterBase):
         if self.max_scenes:
             n = min(n, self.max_scenes)
         for i in range(n):
+            seed_transforms((self.seed, i))
             sample = self.dataset[i]
             logits = self.extractor(self.variables, sample)
             # extractor returns per-point output; classifier heads pool, but
@@ -219,6 +224,7 @@ class SemSegTester(TesterBase):
         if self.max_scenes:
             n_scenes = min(n_scenes, self.max_scenes)
         for i in range(n_scenes):
+            seed_transforms((self.seed, i))
             scene = self.dataset[i]
             segment = np.asarray(scene["segment"]).reshape(-1)
             n = segment.shape[0]
@@ -284,6 +290,7 @@ class ClsVotingTester(TesterBase):
             inter = np.zeros(self.num_classes)
             target = np.zeros(self.num_classes)
             for i in range(n):
+                seed_transforms((self.seed, rep, i))
                 sample = self.dataset[i]
                 p = self._scene_prob(sample)
                 prob_acc[i] = prob_acc.get(i, 0) + p
@@ -396,7 +403,8 @@ def _write_submission(save_path, name, pred, dataset_type, class2id=None,
                    pred.astype(np.int32), delimiter=",", fmt="%d")
 
 
-def build_tester(cfg, model, variables, dataset_cfg, patch_size=1024):
+def build_tester(cfg, model, variables, dataset_cfg, patch_size=1024,
+                 seed=0):
     cfg = dict(cfg)
     return TESTERS.build(
         cfg,
@@ -404,4 +412,5 @@ def build_tester(cfg, model, variables, dataset_cfg, patch_size=1024):
         variables=variables,
         dataset_cfg=dataset_cfg,
         patch_size=patch_size,
+        seed=seed,
     )

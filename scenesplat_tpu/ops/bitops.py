@@ -21,12 +21,12 @@ import numpy as np
 
 from .pallas_sort import sort_rows
 
-MASK24 = jnp.uint32(0x00FFFFFF)
+MASK24 = np.uint32(0x00FFFFFF)  # numpy, not jnp: importing must not init the backend
 # Padding sentinel: larger than any valid 24-bit hi lane, survives >>3 shifts.
-SENTINEL_HI = jnp.uint32(0x7FFFFFFF)
+SENTINEL_HI = np.uint32(0x7FFFFFFF)
 # Packed-key sentinel: strictly below 0xFFFFFFFF, which the Pallas bitonic
 # sort reserves for its power-of-two padding slots (ops/pallas_sort.py).
-SENTINEL_PACKED = jnp.uint32(0xFFFFFFFE)
+SENTINEL_PACKED = np.uint32(0xFFFFFFFE)
 
 
 def pair_shift_right(hi: jnp.ndarray, lo: jnp.ndarray, k: int):

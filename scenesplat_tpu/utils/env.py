@@ -15,4 +15,7 @@ def set_seed(seed: int | None = None) -> int:
         seed = int.from_bytes(os.urandom(4), "little")
     random.seed(seed)
     np.random.seed(seed % (2**32))
+    from scenesplat_tpu.data.transforms import seed_transforms
+
+    seed_transforms(seed)  # calling thread's transform RNG (ad-hoc scripts)
     return seed

@@ -207,6 +207,33 @@ def test_gs_dataset_and_loader(fake_dataset_root):
         assert b["mask"].any(axis=1).all()
 
 
+def test_loader_deterministic_across_worker_counts(fake_dataset_root):
+    # augmentation draws are a pure function of (seed, epoch, sample index):
+    # same seed -> identical batches regardless of thread count or scheduling
+    ds = build_dataset(
+        dict(
+            type="ScanNetPPGSDataset",
+            split="train",
+            data_root=fake_dataset_root,
+            transform=TRAIN_TRANSFORM,
+            loop=2,
+        )
+    )
+
+    def run(workers):
+        loader = Loader(
+            ds, batch_size=2, num_points=512, num_workers=workers, seed=7
+        )
+        loader.set_epoch(1)
+        return list(loader)
+
+    a, b, c = run(1), (run(4)), run(4)
+    for ba, bb, bc in zip(a, b, c):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+            np.testing.assert_array_equal(ba[k], bc[k])
+
+
 def test_multi_dataset_loader(fake_dataset_root):
     cfg = dict(
         type="ScanNetPPGSDataset",

@@ -23,6 +23,7 @@ def _make_tester(cls_name, dataset, extractor, **kw):
     t.dataset = dataset
     t.extractor = extractor
     t.variables = {}
+    t.seed = 0
     import logging
 
     t.logger = logging.getLogger("test")

@@ -82,7 +82,8 @@ def main():
     test_cfgs = test_cfgs if isinstance(test_cfgs, (list, tuple)) else [test_cfgs]
     data_cfgs = data_cfgs if isinstance(data_cfgs, (list, tuple)) else [data_cfgs]
     for tc, dc in zip(test_cfgs, data_cfgs):
-        tester = build_tester(tc, model, variables, dc, patch_size=patch)
+        tester = build_tester(tc, model, variables, dc, patch_size=patch,
+                              seed=cfg.get("seed", 0))
         tester.test()
 
 
