@@ -18,6 +18,7 @@ covers BOTH programs, as a training step would.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -255,10 +256,22 @@ if __name__ == "__main__":
         # tunneled toolchain. Larger N compiles (65k/131k) hit pathological
         # XLA-sort / Mosaic compile zones measured at 5-30+ min (see
         # ops/pallas_sort.py) — run them only via an explicit CLI arg.
-        for n in (32768, 16384):
-            try:
-                main(n_points=n)
-                break
-            except Exception as e:  # compile-helper SIGKILL surfaces as INTERNAL
-                print(f"# bench at n={n} failed ({type(e).__name__}); retrying smaller",
+        # Second sweep retries with the jnp reference attention so a Mosaic
+        # regression in the Pallas kernel degrades the number instead of
+        # killing the bench.
+        done = False
+        for no_pallas in (False, True):
+            if no_pallas:
+                os.environ["SCENESPLAT_NO_PALLAS_ATTN"] = "1"
+                print("# retrying with reference (non-Pallas) attention",
                       file=sys.stderr)
+            for n in (32768, 16384):
+                try:
+                    main(n_points=n)
+                    done = True
+                    break
+                except Exception as e:  # helper SIGKILL surfaces as INTERNAL
+                    print(f"# bench at n={n} failed ({type(e).__name__}); retrying",
+                          file=sys.stderr)
+            if done:
+                break

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import functools
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -109,6 +111,8 @@ def window_attention(
     """Dispatch to the Pallas flash-window kernel on TPU, else the jnp path."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if os.environ.get("SCENESPLAT_NO_PALLAS_ATTN") == "1":
+        use_pallas = False  # bench.py safety valve for Mosaic regressions
     if use_pallas:
         from .pallas_attn import flash_window_attention
 
