@@ -781,7 +781,7 @@ class SphereCropRandomMaxPoints:
             budget = int(scale * (self.point_max or data_dict["coord"].shape[0]))
         else:
             lo, hi = self.max_points or (80000, 120000)
-            budget = int(int(trng().integers(lo, hi + 1)))
+            budget = int(trng().integers(lo, hi + 1))
         return SphereCrop(point_max=max(budget, 1), mode=self.mode)(data_dict)
 
 

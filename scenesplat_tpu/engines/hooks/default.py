@@ -29,6 +29,13 @@ class HookBase:
     def after_train(self):
         pass
 
+    def _seed(self) -> int:
+        """Config seed for deterministic per-scene transform RNG seeding."""
+        try:
+            return int(self.trainer.cfg.get("seed", 0))
+        except AttributeError:
+            return 0
+
 
 def build_hooks(cfg_list):
     return [HOOKS.build(dict(c)) for c in (cfg_list or [])]

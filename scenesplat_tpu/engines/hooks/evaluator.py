@@ -17,6 +17,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from scenesplat_tpu.data import build_dataset
+from scenesplat_tpu.data.transforms import seed_transforms
 from scenesplat_tpu.engines.eval import (
     ZeroShotMetric,
     evaluate_scene,
@@ -98,6 +99,7 @@ class LangPretrainZeroShotSemSegEvalMulti(HookBase):
             if self.max_scenes:
                 n_scenes = min(n_scenes, self.max_scenes)
             for i in range(n_scenes):
+                seed_transforms((self._seed(), di, i))
                 sample = dataset[i]
                 feat = self.extractor(variables, sample)
                 evaluate_scene(
@@ -174,6 +176,7 @@ class SemSegEvaluator(HookBase):
         if self.max_scenes:
             n_scenes = min(n_scenes, self.max_scenes)
         for i in range(n_scenes):
+            seed_transforms((self._seed(), i))
             sample = self.dataset[i]
             logits = self.extractor(variables, sample)
             pred = logits.argmax(-1).astype(np.int32)
@@ -241,6 +244,7 @@ class ClsEvaluator(HookBase):
         target = np.zeros(self.num_classes)
         n_pts = self.batch_points or self.trainer.cfg.data.get("num_points", 1024)
         for i in range(n_scenes):
+            seed_transforms((self._seed(), i))
             sample = self.dataset[i]
             coord = np.asarray(sample["coord"], np.float32)
             feat = np.asarray(sample["feat"], np.float32)
@@ -337,6 +341,7 @@ class InsSegEvaluator(HookBase):
         if self.max_scenes:
             n_scenes = min(n_scenes, self.max_scenes)
         for i in range(n_scenes):
+            seed_transforms((self._seed(), i))
             sample = self.dataset[i]
             out = self.extractor(variables, sample)
             logits, bias = out[:, : -3], out[:, -3:]

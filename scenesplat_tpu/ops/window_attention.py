@@ -111,8 +111,9 @@ def window_attention(
     """Dispatch to the Pallas flash-window kernel on TPU, else the jnp path."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if os.environ.get("SCENESPLAT_NO_PALLAS_ATTN") == "1":
-        use_pallas = False  # bench.py safety valve for Mosaic regressions
+        if os.environ.get("SCENESPLAT_NO_PALLAS_ATTN") == "1":
+            use_pallas = False  # bench.py safety valve for Mosaic regressions
+            # (only overrides the default — an explicit use_pallas=True wins)
     if use_pallas:
         from .pallas_attn import flash_window_attention
 

@@ -91,6 +91,36 @@ def test_pallas_head_group_fallback(rng):
     np.testing.assert_allclose(got[m], expected[m], rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_multi_group_grid(rng):
+    # c=256, d=64 -> cg=lcm(64,128)=128, groups=2: exercises the third grid
+    # axis and the g-indexed BlockSpec slicing (flagship configs all hit this)
+    qkv, valid = make_inputs(rng, b=1, n=64, patch=32, heads=4, d=64)
+    patch, heads = 32, 4
+    vj = jnp.asarray(valid)
+    mask_f = vj[..., None].astype(jnp.float32)
+
+    def loss_pallas(x):
+        o = wa.window_attention(x, vj, patch, heads, use_pallas=True)
+        return jnp.sum((o * mask_f) ** 2)
+
+    def loss_ref(x):
+        o = wa.window_attention_reference(x, vj, patch, heads)
+        return jnp.sum((o * mask_f) ** 2)
+
+    x = jnp.asarray(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            wa.window_attention(x, vj, patch, heads, use_pallas=True)
+        )
+        g_pallas = np.asarray(jax.grad(loss_pallas)(x))
+    expected = np.asarray(
+        wa.window_attention_reference(x, vj, patch, heads)
+    )
+    np.testing.assert_allclose(got[valid], expected[valid], rtol=1e-4, atol=1e-5)
+    g_ref = np.asarray(jax.grad(loss_ref)(x))
+    np.testing.assert_allclose(g_pallas, g_ref, rtol=1e-3, atol=1e-4)
+
+
 def test_pallas_gradients_match(rng):
     qkv, valid = make_inputs(rng, b=1, n=64, patch=16, heads=2, d=4)
     patch, heads = 16, 2
