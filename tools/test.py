@@ -56,7 +56,25 @@ def main():
     )(point)
 
     weight = cfg.get("weight")
-    if weight:
+    if weight and str(weight).endswith((".pth", ".pt")):
+        # reference torch checkpoint: shape-validated partial load through
+        # the bridge (utils/ckpt_bridge.py), like the reference
+        # CheckpointLoader's keyword remap (hooks/misc.py:207-300)
+        from scenesplat_tpu.utils.ckpt_bridge import (
+            convert_ptv3_lang_checkpoint,
+            load_torch_state_dict,
+        )
+
+        state = load_torch_state_dict(weight)
+        params, bstats, report = convert_ptv3_lang_checkpoint(
+            state, variables["params"], variables.get("batch_stats", {})
+        )
+        print(
+            f"bridged torch checkpoint: {report['filled_leaves']} leaves, "
+            f"{len(report['unused_torch_keys'])} torch keys unused"
+        )
+        variables = {"params": params, "batch_stats": bstats}
+    elif weight:
         ckptr = ocp.StandardCheckpointer()
         template = {
             "params": variables["params"],
