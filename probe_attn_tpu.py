@@ -1,0 +1,87 @@
+"""Real-TPU probe: flash-window attention fwd + bwd compile & microbench.
+
+New-kernel discipline (CLAUDE.md): interpret-mode tests can't catch Mosaic
+layout errors, so any Pallas change gets a real-TPU grad compile probe
+before landing.
+"""
+import time
+
+import numpy as np
+
+import scenesplat_tpu
+
+scenesplat_tpu.setup_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from scenesplat_tpu.ops.pallas_attn import flash_window_attention
+from scenesplat_tpu.ops.window_attention import window_attention_reference
+
+R = 8
+rng = np.random.default_rng(0)
+
+
+def timed(fn, *args, iters=6):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+@jax.jit
+def noop(x):
+    return x * 1.000001
+
+
+t_floor = timed(noop, jnp.zeros((), jnp.float32))
+print(f"floor {t_floor*1e3:6.2f} ms", flush=True)
+
+for (n, c, h) in [(32768, 768, 16), (32768, 32, 2), (4096, 256, 16),
+                  (4096, 192, 3)]:  # 192-lane full-C fallback tile (Mosaic)
+    qkv = jnp.asarray(rng.normal(size=(1, n, 3, c)), jnp.bfloat16)
+    valid = jnp.ones((1, n), bool)
+
+    @jax.jit
+    def fwd(qkv, valid):
+        def body(i, x):
+            o = flash_window_attention(x, valid, 1024, h, None)
+            return x * 0.5 + o[:, :, None, :] * 0.5
+
+        return jnp.sum(jax.lax.fori_loop(0, R, body, qkv).astype(jnp.float32))
+
+    @jax.jit
+    def bwd(qkv, valid):
+        def loss(x):
+            def body(i, x):
+                o = flash_window_attention(x, valid, 1024, h, None)
+                return x * 0.5 + o[:, :, None, :] * 0.5
+
+            return jnp.sum(
+                jax.lax.fori_loop(0, R, body, x).astype(jnp.float32)
+            )
+
+        return jnp.sum(jax.grad(loss)(qkv).astype(jnp.float32))
+
+    # correctness vs jnp reference (single call, small tolerance bf16)
+    o_pallas = jax.jit(
+        lambda q, v: flash_window_attention(q, v, 1024, h, None)
+    )(qkv, valid)
+    o_ref = jax.jit(
+        lambda q, v: window_attention_reference(q, v, 1024, h, None)
+    )(qkv, valid)
+    err = float(
+        jnp.max(jnp.abs(o_pallas.astype(jnp.float32) - o_ref.astype(jnp.float32)))
+    )
+    t_f = (timed(fwd, qkv, valid) - t_floor) / R
+    t_b = (timed(bwd, qkv, valid) - t_floor) / R
+    gf = 4 * n * 1024 * c / t_f / 1e9
+    print(
+        f"N={n} C={c} H={h}: max|err|={err:.4f}  fwd {t_f*1e3:7.2f} ms "
+        f"({gf:,.0f} GF/s)  fwd+bwd {t_b*1e3:7.2f} ms", flush=True
+    )
+print("OK")
