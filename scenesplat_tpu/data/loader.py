@@ -131,25 +131,32 @@ class MultiDatasetLoader:
             for i, ds in enumerate(self.children)
         ]
         self.ratios = [max(1, int(getattr(ds, "loop", 1))) for ds in self.children]
+        # the ConcatDataset's own loop is the per-epoch data-pass multiplier
+        # (reference defaults.py:123 sets data.train.loop = epoch // eval_epoch)
+        self.loop = max(1, int(getattr(concat_dataset, "loop", 1)))
+        self.epoch = 0
 
     def set_epoch(self, epoch: int):
-        for loader in self.loaders:
-            loader.set_epoch(epoch)
+        self.epoch = epoch
 
     def __len__(self):
-        return sum(len(ld) for ld in self.loaders)
+        return self.loop * sum(len(ld) for ld in self.loaders)
 
     def __iter__(self):
-        iters = [iter(ld) for ld in self.loaders]
-        remaining = [len(ld) for ld in self.loaders]
-        # round-robin weighted by ratio until all children exhausted
-        while any(r > 0 for r in remaining):
-            for i, ratio in enumerate(self.ratios):
-                for _ in range(ratio):
-                    if remaining[i] <= 0:
-                        break
-                    yield next(iters[i])
-                    remaining[i] -= 1
+        # each data pass reshuffles children with a distinct epoch index
+        for rep in range(self.loop):
+            for loader in self.loaders:
+                loader.set_epoch(self.epoch * self.loop + rep)
+            iters = [iter(ld) for ld in self.loaders]
+            remaining = [len(ld) for ld in self.loaders]
+            # round-robin weighted by ratio until all children exhausted
+            while any(r > 0 for r in remaining):
+                for i, ratio in enumerate(self.ratios):
+                    for _ in range(ratio):
+                        if remaining[i] <= 0:
+                            break
+                        yield next(iters[i])
+                        remaining[i] -= 1
 
 
 def prefetch_to_device(iterator, mesh=None, size: int = 2):

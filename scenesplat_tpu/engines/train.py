@@ -109,6 +109,21 @@ class Trainer(TrainerBase):
             log_file=os.path.join(cfg.get("save_path", "exp/default"), "train.log")
         )
         self.max_epoch = cfg.get("epoch", 100)
+        eval_epoch = cfg.get("eval_epoch")
+        if eval_epoch:
+            # reference defaults.py:123,147: train eval_epoch outer epochs,
+            # each covering epoch // eval_epoch passes of the data via the
+            # dataset's loop multiplier (so eval/checkpoint cadence is
+            # eval_epoch, not one per data pass)
+            assert self.max_epoch % eval_epoch == 0, (
+                f"epoch ({self.max_epoch}) must be divisible by "
+                f"eval_epoch ({eval_epoch})"
+            )
+            loop = self.max_epoch // eval_epoch
+            if loop > 1:
+                tr = cfg.data.train
+                tr["loop"] = int(tr.get("loop", 1)) * loop
+            self.max_epoch = int(eval_epoch)
         self.metric_flush_interval = cfg.get("metric_flush_interval", 8)
         # mesh size must divide the global batch; use the largest such size
         batch_size = cfg.get("batch_size", 1)

@@ -249,6 +249,22 @@ def test_multi_dataset_loader(fake_dataset_root):
     assert len(batches) == len(loader) == 9  # 3*2 + 3*1 scenes
 
 
+def test_multi_dataset_loader_epoch_loop(fake_dataset_root):
+    # the ConcatDataset's own loop multiplies data passes per epoch
+    # (reference defaults.py:123: data.train.loop = epoch // eval_epoch)
+    cfg = dict(
+        type="ScanNetPPGSDataset",
+        split="train",
+        data_root=fake_dataset_root,
+        transform=TRAIN_TRANSFORM,
+    )
+    concat = ConcatDataset(datasets=[dict(cfg), dict(cfg)], loop=3)
+    loader = MultiDatasetLoader(concat, batch_size=1, num_points=512,
+                                num_workers=2)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 3 * (3 + 3)
+
+
 def test_hue_saturation_translation_roundtrip_and_range(rng):
     from scenesplat_tpu.data.transforms import (
         HueSaturationTranslation, _hsv_to_rgb, _rgb_to_hsv,
