@@ -9,7 +9,8 @@ batch_size_test = 1
 num_worker = 8
 mix_prob = 0.0
 clip_grad = None
-epoch = 100
+epoch = 100  # total data epochs; data loop = epoch // eval_epoch
+eval_epoch = 100  # eval & checkpoint cadence (reference _base_/default_runtime.py:12-13)
 
 train = dict(type="DefaultTrainer")
 hooks = [
