@@ -105,19 +105,28 @@ class FocalLoss:
         self.ignore_index = ignore_index
 
     def __call__(self, pred, target, mask=None, **kwargs):
+        # sigmoid (one-vs-all) focal loss over one-hot targets, element-mean
+        # across the [N_valid, C] matrix — matching the reference exactly
+        # (misc.py:144-193; golden-tested in tests/test_losses_golden.py)
         num_classes = pred.shape[-1]
         valid = target != self.ignore_index
         if mask is not None:
             valid = valid & mask
-        logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
-        safe_t = jnp.clip(target, 0, num_classes - 1)
-        logpt = jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
-        pt = jnp.exp(logpt)
-        focal = -self.alpha * (1 - pt) ** self.gamma * logpt
+        pred = pred.astype(jnp.float32).reshape(-1, num_classes)
+        valid = valid.reshape(-1)
+        safe_t = jnp.clip(target.reshape(-1), 0, num_classes - 1)
+        t = jax.nn.one_hot(safe_t, num_classes, dtype=jnp.float32)
+        alpha = jnp.asarray(self.alpha, jnp.float32)
+        p = jax.nn.sigmoid(pred)
+        one_minus_pt = (1 - p) * t + p * (1 - t)
+        focal_w = (alpha * t + (1 - alpha) * (1 - t)) * one_minus_pt**self.gamma
+        # numerically-stable BCE-with-logits
+        bce = jnp.maximum(pred, 0) - pred * t + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+        per_el = bce * focal_w * valid[:, None]
         if self.reduction == "mean":
-            loss = _masked_mean(focal, valid)
-        else:
-            loss = (focal * valid).sum()
+            loss = per_el.sum() / jnp.maximum(valid.sum() * num_classes, 1)
+        else:  # reference "sum" crashes on Tensor.total; correct sum here
+            loss = per_el.sum()
         return self.loss_weight * loss
 
 
