@@ -13,7 +13,36 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
+
+
+def _onecycle_cos_schedule(total_steps: int, peak: float, pct_start: float,
+                           div_factor: float, final_div_factor: float):
+    """torch.optim.lr_scheduler.OneCycleLR (anneal_strategy="cos"), exactly:
+    two cosine phases with boundaries at pct_start*T - 1 and T - 1
+    (optax.cosine_onecycle_schedule places them at pct_start*T and T, which
+    diverges up to ~18% relative near the end of training; golden-tested in
+    tests/test_losses_golden.py::test_onecycle_schedule_golden)."""
+    initial = peak / div_factor
+    final = initial / final_div_factor
+    phase1_end = float(pct_start * total_steps) - 1.0
+    phase2_len = (total_steps - 1.0) - phase1_end
+
+    def _anneal(start, end, frac):
+        return end + (start - end) / 2.0 * (1.0 + jnp.cos(jnp.pi * frac))
+
+    def schedule(step):
+        step = jnp.minimum(jnp.asarray(step, jnp.float32), total_steps - 1.0)
+        f1 = step / jnp.maximum(phase1_end, 1e-9)
+        f2 = (step - phase1_end) / jnp.maximum(phase2_len, 1e-9)
+        return jnp.where(
+            step <= phase1_end,
+            _anneal(initial, peak, jnp.clip(f1, 0.0, 1.0)),
+            _anneal(peak, final, jnp.clip(f2, 0.0, 1.0)),
+        )
+
+    return schedule
 
 
 def build_scheduler(cfg: Dict[str, Any], total_steps: int, base_lr: float):
@@ -27,12 +56,12 @@ def build_scheduler(cfg: Dict[str, Any], total_steps: int, base_lr: float):
         # guard degenerate schedules: warmup must span >= 1 step
         total_steps = max(total_steps, 2)
         pct_start = max(cfg.get("pct_start", 0.3), 1.0 / total_steps)
-        return optax.cosine_onecycle_schedule(
-            transition_steps=total_steps,
-            peak_value=max_lr,
-            pct_start=pct_start,
-            div_factor=cfg.get("div_factor", 25.0),
-            final_div_factor=cfg.get("final_div_factor", 1e4),
+        return _onecycle_cos_schedule(
+            total_steps=total_steps,
+            peak=float(max_lr),
+            pct_start=float(pct_start),
+            div_factor=float(cfg.get("div_factor", 25.0)),
+            final_div_factor=float(cfg.get("final_div_factor", 1e4)),
         )
     if kind == "CosineAnnealingLR":
         return optax.cosine_decay_schedule(

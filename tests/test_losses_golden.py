@@ -211,6 +211,39 @@ def test_l2_loss_golden(rng, torch):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize(
+    "total,peak,pct,div,fdiv",
+    [(1000, 6e-3, 0.05, 10.0, 1000.0), (137, 1e-2, 0.3, 25.0, 1e4)],
+)
+def test_onecycle_schedule_golden(torch, total, peak, pct, div, fdiv):
+    # golden vs torch.optim.lr_scheduler.OneCycleLR (what the reference's
+    # OneCycleLR subclasses verbatim, pointcept/utils/scheduler.py:100-135)
+    import jax
+    import torch.optim as optim
+
+    from scenesplat_tpu.utils.optimizer import build_scheduler
+
+    sched = build_scheduler(
+        dict(type="OneCycleLR", max_lr=peak, pct_start=pct,
+             div_factor=div, final_div_factor=fdiv),
+        total_steps=total, base_lr=peak,
+    )
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = optim.SGD([p], lr=1.0)
+    ts = optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=peak, total_steps=total, pct_start=pct,
+        anneal_strategy="cos", div_factor=div, final_div_factor=fdiv,
+    )
+    want = []
+    for _ in range(total):
+        want.append(opt.param_groups[0]["lr"])
+        opt.step()
+        ts.step()
+    got = np.asarray(jax.vmap(sched)(jnp.arange(total)))
+    # fp32 schedule vs fp64 torch: tiny absolute slack near the final lr
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-9)
+
+
 def test_lovasz_golden(rng, torch):
     _, ref_lovasz = _REF
     pred, target = _cls_inputs(rng, n=400, c=5)
