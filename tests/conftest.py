@@ -41,6 +41,86 @@ def load_reference_module(relpath: str, name: str):
     return mod
 
 
+_REF_STUBS = (
+    "torch_scatter", "spconv", "spconv.pytorch", "flash_attn",
+    "pointops", "pointops2", "pointgroup_ops",
+    "torch_geometric", "torch_geometric.nn", "torch_geometric.nn.pool",
+    "torch_geometric.utils", "ocnn",
+    "timm", "timm.layers", "timm.models", "timm.models.layers",
+    "plyfile", "open3d", "SharedArray", "numba",
+)
+
+
+def _make_ref_stub(name, attrs=None):
+    import types
+
+    m = types.ModuleType(name)
+    m.__path__ = []
+    cache = {}
+
+    def ga(attr, _n=name):
+        if attr.startswith("__"):
+            raise AttributeError(attr)
+        if attr not in cache:
+            cache[attr] = type(
+                attr, (object,), {"__init__": lambda self, *a, **k: None}
+            )
+        return cache[attr]
+
+    m.__getattr__ = ga
+    for k, v in (attrs or {}).items():
+        setattr(m, k, v)
+    return m
+
+
+def load_reference_package(dotted: str):
+    """Import a module from the reference repo as part of its real package,
+    stubbing the CUDA-only third-party deps its package __init__s pull in.
+    Returns None when unavailable. Use only for pure-torch/numpy reference
+    code (losses, transforms, schedulers) — the stubs are inert."""
+    import importlib
+    import sys
+    import types
+
+    if not os.path.isdir(REFERENCE_ROOT):
+        return None
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    class _AddictDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    def _njit(*a, **k):
+        if len(a) == 1 and callable(a[0]) and not k:
+            return a[0]
+        return lambda f: f
+
+    for name in _REF_STUBS:
+        sys.modules.setdefault(name, _make_ref_stub(name))
+    for name in _REF_STUBS:
+        if "." in name:
+            parent, child = name.rsplit(".", 1)
+            setattr(sys.modules[parent], child, sys.modules[name])
+    nb = sys.modules["numba"]
+    nb.njit = _njit
+    nb.jit = _njit
+    nb.prange = range
+    sys.modules.setdefault(
+        "addict", _make_ref_stub("addict", {"Dict": _AddictDict})
+    )
+    try:
+        return importlib.import_module(dotted)
+    except Exception:
+        return None
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu_backend():
     assert jax.default_backend() == "cpu", (

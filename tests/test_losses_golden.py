@@ -7,9 +7,6 @@ pointops, ...). Those are stubbed with inert placeholder modules — the loss
 code itself never touches them.
 """
 
-import sys
-import types
-
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -17,72 +14,15 @@ import jax.numpy as jnp
 import scenesplat_tpu.models.losses.misc as ours
 from scenesplat_tpu.models.losses.lovasz import LovaszLoss as OurLovasz
 
-REFERENCE_ROOT = "/root/reference"
-
-_STUBS = (
-    "torch_scatter", "spconv", "spconv.pytorch", "flash_attn",
-    "pointops", "pointops2", "pointgroup_ops",
-    "torch_geometric", "torch_geometric.nn", "torch_geometric.nn.pool",
-    "torch_geometric.utils", "ocnn",
-    "timm", "timm.layers", "timm.models", "timm.models.layers",
-    "plyfile", "open3d", "SharedArray",
-)
-
-
-def _make_stub(name, attrs=None):
-    m = types.ModuleType(name)
-    m.__path__ = []
-    cache = {}
-
-    def ga(attr, _n=name):
-        if attr.startswith("__"):
-            raise AttributeError(attr)
-        if attr not in cache:
-            cache[attr] = type(
-                attr, (object,), {"__init__": lambda self, *a, **k: None}
-            )
-        return cache[attr]
-
-    m.__getattr__ = ga
-    for k, v in (attrs or {}).items():
-        setattr(m, k, v)
-    return m
-
-
-class _AddictDict(dict):
-    def __getattr__(self, k):
-        try:
-            return self[k]
-        except KeyError:
-            raise AttributeError(k)
-
-    def __setattr__(self, k, v):
-        self[k] = v
+from conftest import load_reference_package
 
 
 def _load_reference_losses():
-    import os
-
-    if not os.path.isdir(REFERENCE_ROOT):
+    misc = load_reference_package("pointcept.models.losses.misc")
+    lovasz = load_reference_package("pointcept.models.losses.lovasz")
+    if misc is None or lovasz is None:
         return None
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
-    for name in _STUBS:
-        sys.modules.setdefault(name, _make_stub(name))
-    for name in _STUBS:
-        if "." in name:
-            parent, child = name.rsplit(".", 1)
-            setattr(sys.modules[parent], child, sys.modules[name])
-    sys.modules.setdefault(
-        "addict", _make_stub("addict", {"Dict": _AddictDict})
-    )
-    try:
-        from pointcept.models.losses import lovasz as ref_lovasz
-        from pointcept.models.losses import misc as ref_misc
-
-        return ref_misc, ref_lovasz
-    except Exception:
-        return None
+    return misc, lovasz
 
 
 _REF = _load_reference_losses()
