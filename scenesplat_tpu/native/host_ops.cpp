@@ -226,12 +226,19 @@ void majority_vote(
     std::vector<int32_t> counts((size_t)num_classes);
     for (int64_t i = 0; i < m; ++i) {
         std::fill(counts.begin(), counts.end(), 0);
-        int32_t best = ignore_index, best_count = 0;
         for (int64_t j = 0; j < k; ++j) {
             int32_t lab = labels[i * k + j];
             if (lab == ignore_index || lab < 0 || lab >= num_classes) continue;
-            int32_t c = ++counts[(size_t)lab];
-            if (c > best_count) { best_count = c; best = lab; }
+            ++counts[(size_t)lab];
+        }
+        // count ties break to the SMALLEST class id, matching the reference
+        // scan (pointcept/utils/misc.py:42-46) and np.argmax semantics
+        int32_t best = ignore_index, best_count = 0;
+        for (int32_t c = 0; c < num_classes; ++c) {
+            if (counts[(size_t)c] > best_count) {
+                best_count = counts[(size_t)c];
+                best = c;
+            }
         }
         out[i] = best;
     }
