@@ -1137,8 +1137,11 @@ class GSGaussianBlurVoxelOpc:
             flat = out.reshape(len(out), -1)
             flat[blur_mask] = blurred[idx][:, slices[k]] / weights
             if k == "quat":
-                flat[blur_mask] /= np.maximum(
-                    np.linalg.norm(flat[blur_mask], axis=1, keepdims=True), 1e-9
+                # ALL rows renormalize, not just blurred ones (reference
+                # transform.py:166; unblurred quats are unit-norm in real
+                # pipelines so this matches while staying golden-exact)
+                flat /= np.maximum(
+                    np.linalg.norm(flat, axis=1, keepdims=True), 1e-9
                 )
             data_dict[k] = flat.reshape(np.asarray(data_dict[k]).shape)
         return data_dict

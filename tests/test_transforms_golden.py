@@ -141,6 +141,61 @@ def test_grid_sample_test_mode_golden(rng):
         )
 
 
+def test_chromatic_auto_contrast_golden(rng):
+    d = scene(rng)
+    ref_out = _REF.ChromaticAutoContrast(p=1.0, blend_factor=0.6)(
+        copy.deepcopy(d)
+    )
+    our_out = ours.ChromaticAutoContrast(p=1.0, blend_factor=0.6)(
+        copy.deepcopy(d)
+    )
+    np.testing.assert_allclose(our_out["color"], ref_out["color"],
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_random_color_grayscale_golden(rng):
+    d = scene(rng)
+    ref_out = _REF.RandomColorGrayScale(p=1.0)(copy.deepcopy(d))
+    our_out = ours.RandomColorGrayScale(p=1.0)(copy.deepcopy(d))
+    np.testing.assert_allclose(our_out["color"], ref_out["color"],
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_instance_parser_golden(rng):
+    n = 500
+    d = scene(rng, n=n)
+    d["instance"] = rng.integers(-1, 8, n).astype(np.int64)
+    d["segment"] = rng.integers(-1, 6, n).astype(np.int64)
+    ref_out = _REF.InstanceParser(segment_ignore_index=(-1, 0, 1))(
+        copy.deepcopy(d)
+    )
+    our_out = ours.InstanceParser(segment_ignore_index=(-1, 0, 1))(
+        copy.deepcopy(d)
+    )
+    np.testing.assert_array_equal(our_out["instance"], ref_out["instance"])
+    np.testing.assert_allclose(our_out["instance_centroid"],
+                               ref_out["instance_centroid"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(our_out["bbox"], ref_out["bbox"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gs_gaussian_blur_voxel_golden(rng):
+    n = 700
+    d = scene(rng, n=n)
+    d["grid_coord"] = rng.integers(0, 14, (n, 3)).astype(np.int32)
+    d["opacity"] = rng.uniform(0, 1, (n, 1)).astype(np.float32)
+    kwargs = dict(p=1.0, sigma=[0.7, 0.7],
+                  extra_keys=("opacity", "scale", "quat"))
+    ref_out = _REF.GSGaussianBlurVoxelOpc(**kwargs)(copy.deepcopy(d))
+    our_out = ours.GSGaussianBlurVoxelOpc(**kwargs)(copy.deepcopy(d))
+    for k in ("color", "opacity", "scale", "quat"):
+        np.testing.assert_allclose(
+            np.asarray(our_out[k]), np.asarray(ref_out[k]),
+            rtol=1e-4, atol=1e-3, err_msg=k,
+        )
+
+
 def test_grid_sample_train_mode_structure_golden(rng):
     # train mode picks a random point per voxel — the picked points differ
     # by RNG, but the voxel partition must be identical: compare the SET of
