@@ -134,10 +134,9 @@ def clustering_voting(
         if inst_id == ignore_index:
             continue
         mask = instance == inst_id
-        votes = pred[mask]
-        votes = votes[votes != ignore_index]
-        if votes.size == 0:
-            continue
-        values, counts = np.unique(votes, return_counts=True)
+        # the ignore label votes like any other class (reference
+        # misc.py:118-123): a mostly-low-confidence instance becomes
+        # all-ignore rather than adopting a minority class
+        values, counts = np.unique(pred[mask], return_counts=True)
         pred[mask] = values[counts.argmax()]
     return pred

@@ -48,6 +48,8 @@ _REF_STUBS = (
     "torch_geometric.utils", "ocnn",
     "timm", "timm.layers", "timm.models", "timm.models.layers",
     "plyfile", "open3d", "SharedArray", "numba",
+    "yapf", "yapf.yapflib", "yapf.yapflib.yapf_api", "tensorboardX",
+    "sharedarray", "wandb", "einops", "easydict",
 )
 
 

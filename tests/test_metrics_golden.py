@@ -43,11 +43,15 @@ def test_neighbor_voting_golden(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_clustering_voting_golden(rng):
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_clustering_voting_golden(seed):
+    # independent rng per case: small dense instances make ignore-label
+    # majorities common, covering the instance-becomes-ignore path
+    r = np.random.default_rng(seed)
     n, classes = 300, 6
-    pred = rng.integers(0, classes, n).astype(np.int64)
-    pred[rng.random(n) < 0.1] = -1
-    inst = rng.integers(-1, 12, n).astype(np.int64)
+    pred = r.integers(0, classes, n).astype(np.int64)
+    pred[r.random(n) < 0.3] = -1
+    inst = r.integers(-1, 12, n).astype(np.int64)
     want = _REF.clustering_voting(pred.copy(), inst.copy(), -1)
     got = ours.clustering_voting(pred.copy(), inst.copy(), -1)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
