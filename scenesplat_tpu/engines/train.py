@@ -62,17 +62,27 @@ class TrainerBase:
             getattr(h, phase)()
 
     def train(self):
-        with EventStorage() as self.storage:
-            self.before_train()
-            self.call_hooks("before_train")
-            for self.epoch in range(self.start_epoch, self.max_epoch):
-                self.before_epoch()
-                self.call_hooks("before_epoch")
-                self.run_epoch()
-                self.flush_metrics()
-                self.call_hooks("after_epoch")
-            self.call_hooks("after_train")
-            self.after_train()
+        try:
+            with EventStorage() as self.storage:
+                self.before_train()
+                self.call_hooks("before_train")
+                for self.epoch in range(self.start_epoch, self.max_epoch):
+                    self.before_epoch()
+                    self.call_hooks("before_epoch")
+                    self.run_epoch()
+                    self.flush_metrics()
+                    self.call_hooks("after_epoch")
+                self.call_hooks("after_train")
+                self.after_train()
+        except Exception:
+            # crash tracebacks land in the train log, not just stderr
+            # (reference ExceptionWriter, utils/events.py:590-602)
+            import traceback
+
+            logger = getattr(self, "logger", None)
+            if logger is not None:
+                logger.error("training crashed:\n%s", traceback.format_exc())
+            raise
 
     # overridable
     def before_train(self):
