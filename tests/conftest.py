@@ -104,12 +104,25 @@ def load_reference_package(dotted: str):
             return a[0]
         return lambda f: f
 
-    for name in _REF_STUBS:
+    def _really_installed(name):
+        import importlib.util
+
+        try:
+            return importlib.util.find_spec(name) is not None
+        except (ImportError, ModuleNotFoundError, ValueError):
+            return False
+
+    # only stub modules that are genuinely absent — a stub must never
+    # shadow a real installed package for the rest of the process
+    needed = [n for n in _REF_STUBS
+              if n not in sys.modules and not _really_installed(n)]
+    for name in needed:
         sys.modules.setdefault(name, _make_ref_stub(name))
-    for name in _REF_STUBS:
+    for name in needed:
         if "." in name:
             parent, child = name.rsplit(".", 1)
-            setattr(sys.modules[parent], child, sys.modules[name])
+            if parent in sys.modules and child not in dir(sys.modules[parent]):
+                setattr(sys.modules[parent], child, sys.modules[name])
     nb = sys.modules["numba"]
     nb.njit = _njit
     nb.jit = _njit
