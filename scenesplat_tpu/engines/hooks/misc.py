@@ -193,6 +193,16 @@ class CheckpointLoader(HookBase):
             self.trainer.comm_info["best_metric_value"] = float(
                 payload["meta"]["best_metric"]
             )
+        # restored arrays land on a single device; re-replicate over the
+        # trainer's mesh or the first sharded train step fails with
+        # "incompatible devices" on any multi-chip mesh
+        mesh = getattr(self.trainer, "mesh", None)
+        if mesh is not None and mesh.size > 1:
+            import jax
+
+            from scenesplat_tpu.parallel.mesh import replicated
+
+            new_state = jax.device_put(new_state, replicated(mesh))
         self.trainer.state = new_state
         self.trainer.logger.info(
             f"checkpoint loaded (resume={resume}, epoch={self.trainer.start_epoch})"

@@ -262,3 +262,57 @@ def test_full_training_cycle(data_root, tmp_path):
     trainer2.call_hooks("before_train")
     assert trainer2.start_epoch == 2
     assert int(trainer2.state.step) == int(trainer.state.step)
+
+
+def test_resume_bit_exact(data_root, tmp_path):
+    """Interrupted-and-resumed training reproduces the straight run exactly:
+    data draws are (seed, epoch, index)-pure, per-step RNG folds on the
+    global step, and the checkpoint restores the full train state."""
+    import jax
+
+    from scenesplat_tpu.engines.hooks.default import HookBase
+    from scenesplat_tpu.engines.train import build_trainer
+
+    # run A: 2 epochs straight
+    cfg_a = make_cfg(data_root, str(tmp_path / "a"))
+    tr_a = build_trainer(cfg_a)
+    tr_a.train()
+    params_a = jax.device_get(tr_a.state.params)
+
+    # run B part 1: same config, interrupted after epoch 0 (the stopper runs
+    # after CheckpointSaver, so model_last for epoch 0 is on disk)
+    class _Interrupt(Exception):
+        pass
+
+    class _StopAfterFirstEpoch(HookBase):
+        def after_epoch(self):
+            if self.trainer.epoch == 0:
+                raise _Interrupt
+
+    save_b = str(tmp_path / "b")
+    cfg_b = make_cfg(data_root, save_b)
+    tr_b = build_trainer(cfg_b)
+    stopper = _StopAfterFirstEpoch()
+    stopper.trainer = tr_b
+    tr_b.hooks.append(stopper)
+    try:
+        tr_b.train()
+        raise AssertionError("interrupt hook did not fire")
+    except _Interrupt:
+        pass
+
+    # run B part 2: resume from the interrupted checkpoint
+    cfg_b2 = make_cfg(data_root, save_b)
+    cfg_b2["weight"] = os.path.join(save_b, "model", "model_last")
+    cfg_b2["resume"] = True
+    tr_b2 = build_trainer(cfg_b2)
+    tr_b2.train()
+    assert int(tr_b2.state.step) == int(tr_a.state.step)
+    params_b = jax.device_get(tr_b2.state.params)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params_a)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(params_b))
+    for path, leaf_a in flat_a:
+        np.testing.assert_array_equal(
+            leaf_a, flat_b[path], err_msg=jax.tree_util.keystr(path)
+        )
