@@ -84,6 +84,23 @@ class InformationWriter(HookBase):
         self.tb_writer.close()
 
 
+def _extra_state_fields(state):
+    """Trainer-state fields beyond the shared train-state layout (e.g. the
+    SSL pretrainer's EMA teacher) as a dict for checkpointing."""
+    import dataclasses
+
+    shared = ("params", "opt_state", "batch_stats", "step", "rng")
+    try:
+        fields = dataclasses.fields(state)
+    except TypeError:
+        return {}
+    return {
+        f.name: getattr(state, f.name)
+        for f in fields
+        if f.name not in shared
+    }
+
+
 @HOOKS.register_module()
 class CheckpointSaver(HookBase):
     """Save model_last each epoch and copy model_best when the metric improves
@@ -120,6 +137,12 @@ class CheckpointSaver(HookBase):
                 ),
             },
         }
+        extra = _extra_state_fields(state)
+        if extra:
+            # trainer-specific state beyond the shared layout — e.g. the SSL
+            # pretrainer's EMA teacher (the reference checkpoints the whole
+            # module state dict, teacher included, hooks/misc.py:146-204)
+            payload["extra"] = extra
         self._ckptr.save(tmp, payload)
         self._ckptr.wait_until_finished()
         if os.path.exists(path):
@@ -178,11 +201,22 @@ class CheckpointLoader(HookBase):
                 "best_metric": np.asarray(-1.0),
             },
         }
-        payload = ckptr.restore(os.path.abspath(weight), template)
+        extra_template = _extra_state_fields(state)
+        if extra_template:
+            template["extra"] = extra_template
+        try:
+            payload = ckptr.restore(os.path.abspath(weight), template)
+        except Exception:
+            # checkpoint without the extra section (different trainer type
+            # or older layout): retry with the shared layout only
+            template.pop("extra", None)
+            payload = ckptr.restore(os.path.abspath(weight), template)
         resume = self.trainer.cfg.get("resume", False)
         new_state = state.replace(
             params=payload["params"], batch_stats=payload["batch_stats"]
         )
+        if "extra" in payload:
+            new_state = new_state.replace(**payload["extra"])
         if resume:
             new_state = new_state.replace(
                 opt_state=payload["opt_state"],

@@ -211,3 +211,16 @@ def test_ssl_pretrainer_cycle(ssl_data_root, tmp_path):
     # dino + ibot + mae all contributed
     for key in ("sim_dino_crops_loss", "sim_ibot_patch_loss", "global_mae_loss"):
         assert np.isfinite(trainer.storage.history(key).latest())
+
+    # the EMA teacher is checkpointed and restored on resume (the saver's
+    # "extra" section carries trainer-specific state fields)
+    cfg2 = Config(dict(cfg))
+    cfg2["weight"] = str(tmp_path / "ssl_exp" / "model" / "model_last")
+    cfg2["resume"] = True
+    cfg2["hooks"] = list(cfg2["hooks"]) + [dict(type="CheckpointLoader")]
+    trainer2 = DefaultSSLPreTrainer(cfg2)
+    trainer2.call_hooks("before_train")
+    t_saved = jax.tree_util.tree_leaves(trainer.state.teacher_params)
+    t_restored = jax.tree_util.tree_leaves(trainer2.state.teacher_params)
+    for a, b in zip(t_saved, t_restored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
