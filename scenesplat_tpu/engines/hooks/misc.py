@@ -283,7 +283,14 @@ class PreciseEvaluator(HookBase):
                         "best_metric": np.asarray(-1.0),
                     },
                 }
-                payload = ckptr.restore(os.path.abspath(best), template)
+                extra_template = _extra_state_fields(state)
+                if extra_template:
+                    template["extra"] = extra_template
+                try:
+                    payload = ckptr.restore(os.path.abspath(best), template)
+                except Exception:
+                    template.pop("extra", None)
+                    payload = ckptr.restore(os.path.abspath(best), template)
                 state = state.replace(
                     params=payload["params"], batch_stats=payload["batch_stats"]
                 )
