@@ -196,6 +196,22 @@ def test_gs_gaussian_blur_voxel_golden(rng):
         )
 
 
+def test_grid_sample_importance_golden(rng):
+    # importance sampling picks the per-cell argmax of the importance
+    # attribute — fully deterministic (transform.py:1334-1380)
+    d = scene(rng, n=800)
+    gs_keys = ("coord", "color", "segment", "scale")
+    kw = dict(grid_size=0.8, mode="train", keys=gs_keys,
+              return_grid_coord=True,
+              importance_sample_key=("scale_max", "opacity"))
+    d["opacity"] = rng.uniform(0, 1, (len(d["coord"]),)).astype(np.float32)
+    ref_out = _REF.GridSample(**kw)(copy.deepcopy(d))
+    our_out = ours.GridSample(**kw)(copy.deepcopy(d))
+    ref_set = {tuple(r) for r in np.round(ref_out["coord"], 5).tolist()}
+    our_set = {tuple(r) for r in np.round(our_out["coord"], 5).tolist()}
+    assert ref_set == our_set
+
+
 def test_grid_sample_train_mode_structure_golden(rng):
     # train mode picks a random point per voxel — the picked points differ
     # by RNG, but the voxel partition must be identical: compare the SET of
