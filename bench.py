@@ -244,34 +244,117 @@ def main_train(n_points: int = 32768, batch: int = 1, iters: int = 5,
     )
 
 
+def _canary():
+    """Tiny device round-trip on the default platform. A dead tunnel hangs
+    here (and only burns the canary's subprocess timeout, not the ladder's)."""
+    import jax.numpy as jnp
+
+    val = float((jnp.ones((128, 128)) @ jnp.ones((128, 128))).sum())
+    assert val == 128.0 * 128 * 128
+    print(json.dumps({"metric": "canary", "value": 1, "unit": "ok",
+                      "vs_baseline": 1}))
+
+
+def _run_worker(args, timeout, extra_env=None):
+    """Run `python bench.py --worker ...` in a subprocess with a hard
+    deadline; return (parsed-JSON, error-string)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args],
+            capture_output=True, text=True, timeout=timeout, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout:.0f}s"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
+        return None, f"rc={r.returncode}: {' | '.join(tail)[:300]}"
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        try:
+            obj = json.loads(line)
+        except (ValueError, TypeError):
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return obj, None
+    return None, "worker printed no JSON line"
+
+
+def _orchestrate(kind: str):
+    """Fail-fast bench driver: a short canary first (a down tunnel becomes an
+    immediate JSON error instead of a silent rc=124), then a retry ladder
+    where every attempt has its own subprocess deadline inside one overall
+    wall-clock budget. ALWAYS prints exactly one JSON result line and exits 0
+    (VERDICT.md round-1 item 1b)."""
+    import sys
+
+    t0 = time.monotonic()
+    budget = float(os.environ.get("SCENESPLAT_BENCH_BUDGET", "1200"))
+    metric = ("train_step_gaussians_per_sec" if kind == "train"
+              else "encoder_fwd_gaussians_per_sec")
+
+    def fail(err):
+        print(json.dumps({"metric": metric, "value": 0, "unit": "gaussians/s",
+                          "vs_baseline": 0, "error": err}))
+
+    obj, err = _run_worker(["--worker", "canary"], timeout=min(240.0, budget))
+    if obj is None:
+        fail(f"tpu unreachable ({err})")
+        return
+    print(f"# canary ok at {time.monotonic() - t0:.0f}s", file=sys.stderr)
+
+    # Ladder: sizes with reliably-sane compile times on the tunneled
+    # toolchain (larger N hits pathological XLA-sort/Mosaic compile zones,
+    # see ops/pallas_sort.py); the no-Pallas rungs keep a Mosaic regression
+    # in the attention kernel from killing the bench outright.
+    if kind == "train":
+        ladder = [
+            (["--worker", "train", "32768"], None),
+            (["--worker", "train", "32768"], {"SCENESPLAT_NO_PALLAS_ATTN": "1"}),
+            (["--worker", "train", "16384"], {"SCENESPLAT_NO_PALLAS_ATTN": "1"}),
+        ]
+    else:
+        ladder = [
+            (["--worker", "fwd", "32768"], None),
+            (["--worker", "fwd", "32768"], {"SCENESPLAT_NO_PALLAS_ATTN": "1"}),
+            (["--worker", "fwd", "16384"], {"SCENESPLAT_NO_PALLAS_ATTN": "1"}),
+        ]
+    last_err = "no attempt had enough budget"
+    for args, extra_env in ladder:
+        remaining = budget - (time.monotonic() - t0) - 15
+        if remaining < 120:
+            break
+        obj, err = _run_worker(args, timeout=min(900.0, remaining),
+                               extra_env=extra_env)
+        if obj is not None:
+            print(json.dumps(obj))
+            return
+        last_err = err
+        print(f"# attempt {args} failed: {err}", file=sys.stderr)
+    fail(last_err)
+
+
 if __name__ == "__main__":
     import sys
 
-    if len(sys.argv) > 1 and sys.argv[1] == "train":
-        main_train(n_points=int(sys.argv[2]) if len(sys.argv) > 2 else 32768)
-    elif len(sys.argv) > 1:
-        main(n_points=int(sys.argv[1]))
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--worker":
+        if argv[1] == "canary":
+            _canary()
+        elif argv[1] == "train":
+            main_train(n_points=int(argv[2]) if len(argv) > 2 else 32768)
+        else:
+            main(n_points=int(argv[2]) if len(argv) > 2 else 32768)
+    elif argv and argv[0] == "train":
+        if len(argv) > 1:  # explicit size: run in-process (manual use)
+            main_train(n_points=int(argv[1]))
+        else:
+            _orchestrate("train")
+    elif argv:
+        main(n_points=int(argv[0]))
     else:
-        # Default to the size with reliably-sane compile times on the
-        # tunneled toolchain. Larger N compiles (65k/131k) hit pathological
-        # XLA-sort / Mosaic compile zones measured at 5-30+ min (see
-        # ops/pallas_sort.py) — run them only via an explicit CLI arg.
-        # Second sweep retries with the jnp reference attention so a Mosaic
-        # regression in the Pallas kernel degrades the number instead of
-        # killing the bench.
-        done = False
-        for no_pallas in (False, True):
-            if no_pallas:
-                os.environ["SCENESPLAT_NO_PALLAS_ATTN"] = "1"
-                print("# retrying with reference (non-Pallas) attention",
-                      file=sys.stderr)
-            for n in (32768, 16384):
-                try:
-                    main(n_points=n)
-                    done = True
-                    break
-                except Exception as e:  # helper SIGKILL surfaces as INTERNAL
-                    print(f"# bench at n={n} failed ({type(e).__name__}); retrying",
-                          file=sys.stderr)
-            if done:
-                break
+        _orchestrate("fwd")

@@ -7,9 +7,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+# XLA:CPU terminates collectives stuck >40 s by default; on a 1-core sandbox
+# an 8-device psum under a slow compile can trip that (rendezvous.cc:127).
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags = (
+        flags
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=3000"
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    )
+os.environ["XLA_FLAGS"] = flags.strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
