@@ -21,6 +21,31 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+def default_buckets(patch_size: int, lo: int = 8192,
+                    hi: int = 524288) -> list:
+    """Powers of two plus midpoints (8k, 12k, 16k, 24k, ...), each rounded up
+    to a ``patch_size`` multiple. Bounds eval compiles at O(log N) programs
+    (instead of one per distinct scene size) at a worst-case 33% padding
+    overhead."""
+    out = set()
+    n = lo
+    while n <= hi:
+        for v in (n, n * 3 // 2):
+            out.add(_round_up(max(v, patch_size), patch_size))
+        n *= 2
+    return sorted(out)
+
+
+def bucket_size(n: int, patch_size: int,
+                buckets: Optional[Sequence[int]] = None) -> int:
+    """Smallest bucket >= n; above the largest bucket, round up to a
+    ``patch_size`` multiple."""
+    for b in buckets if buckets is not None else default_buckets(patch_size):
+        if n <= b:
+            return b
+    return max(patch_size, _round_up(n, patch_size))
+
+
 class FeatureExtractor:
     def __init__(
         self,
@@ -72,7 +97,10 @@ class FeatureExtractor:
                 if n <= b:
                     return b
             return self.buckets[-1]
-        return max(self.patch_size, _round_up(n, self.patch_size))
+        # default: O(log N) bucket ladder, not one compile per scene size
+        # (each tunnel compile costs seconds-to-minutes; a 300-scene val set
+        # would otherwise compile ~300 programs)
+        return bucket_size(n, self.patch_size)
 
     def _split(self, bucket: int) -> bool:
         return (

@@ -308,14 +308,19 @@ class DefaultSSLPreTrainer(Trainer):
                 device_batch[k] = jax.device_put(v, sharding)
             else:
                 device_batch[k] = v
-        momentum = jnp.asarray(self.momentum_schedule(int(self.state.step)), jnp.float32)
+        # host-side step mirror: fetching state.step here would block on the
+        # previous step's output and re-serialize dispatch with execution
+        momentum = jnp.asarray(
+            self.momentum_schedule(self._host_step), jnp.float32
+        )
         self.state, metrics = self._jit_step(self.state, device_batch, momentum)
         # deferred host fetch (see Trainer.run_step/flush_metrics)
         self._pending_metrics.append((self.storage.iter, metrics))
         if self.lr_schedule is not None:
             self.storage.put_scalar(
-                "lr", float(self.lr_schedule(int(self.state.step) - 1))
+                "lr", float(self.lr_schedule(self._host_step))
             )
+        self._host_step += 1
         if len(self._pending_metrics) >= self.metric_flush_interval:
             self.flush_metrics()
 

@@ -47,6 +47,11 @@ class TrainerBase:
         self.storage: Optional[EventStorage] = None
         self._pending_metrics = []
         self.metric_flush_interval = 8
+        # host-side mirror of state.step: reading the device counter every
+        # iteration (for lr logging / schedules) would host-fetch the
+        # just-dispatched step output and re-serialize dispatch with
+        # execution (~28 ms tunnel RPC each) — defeating deferred metrics
+        self._host_step = 0
 
     def flush_metrics(self):  # overridden by trainers that defer fetches
         pass
@@ -66,6 +71,9 @@ class TrainerBase:
             with EventStorage() as self.storage:
                 self.before_train()
                 self.call_hooks("before_train")
+                # one sync after hooks (CheckpointLoader may replace state)
+                if getattr(self, "state", None) is not None:
+                    self._host_step = int(jax.device_get(self.state.step))
                 for self.epoch in range(self.start_epoch, self.max_epoch):
                     self.before_epoch()
                     self.call_hooks("before_epoch")
@@ -130,9 +138,19 @@ class Trainer(TrainerBase):
                 f"eval_epoch ({eval_epoch})"
             )
             loop = self.max_epoch // eval_epoch
+            tr = cfg.data.train
+            preset = int(tr.get("loop", 1))
+            if preset != 1 and loop > 1:
+                # the reference OVERWRITES any preset loop
+                # (defaults.py: cfg.data.train.loop = epoch // eval_epoch);
+                # multiplying would train preset x more data passes
+                self.logger.warning(
+                    f"data.train.loop={preset} is overridden to "
+                    f"{loop} by eval_epoch={eval_epoch} (reference "
+                    "defaults.py semantics)"
+                )
             if loop > 1:
-                tr = cfg.data.train
-                tr["loop"] = int(tr.get("loop", 1)) * loop
+                tr["loop"] = loop
             self.max_epoch = int(eval_epoch)
         self.metric_flush_interval = cfg.get("metric_flush_interval", 8)
         # mesh size must divide the global batch; use the largest such size
@@ -289,7 +307,7 @@ class Trainer(TrainerBase):
         )
         if self._geom_builder is not None:
             geometry = self._geom_builder(
-                point_from_batch(device_batch), int(self.state.step)
+                point_from_batch(device_batch), self._host_step
             )
             self.state, metrics = self._jit_step(
                 self.state, device_batch, geometry
@@ -303,8 +321,9 @@ class Trainer(TrainerBase):
         self._pending_metrics.append((self.storage.iter, metrics))
         if self.lr_schedule is not None:
             self.storage.put_scalar(
-                "lr", float(self.lr_schedule(int(self.state.step) - 1))
+                "lr", float(self.lr_schedule(self._host_step))
             )
+        self._host_step += 1
         if len(self._pending_metrics) >= self.metric_flush_interval:
             self.flush_metrics()
 

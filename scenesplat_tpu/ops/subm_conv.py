@@ -20,6 +20,7 @@ gather+matmul kernel is the planned upgrade for the hot path.)
 from __future__ import annotations
 
 import itertools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -195,13 +196,24 @@ def build_subm_conv_plan_dense(
     in_extent = (
         (x >= 0) & (x < ex) & (y >= 0) & (y < ey) & (z >= 0) & (z < ez)
     )
-    scatter_idx = jnp.where(mask & in_extent, flat, b * m)
+    # Masked / out-of-extent points route to index b*m+1 — past the end of
+    # the (b*m+1)-element grid, so mode="drop" discards them. That keeps the
+    # unique_indices promise honest: live writes hit distinct voxels (the
+    # GridSample one-point-per-voxel contract) and dropped writes never
+    # collide on a shared dump slot.
+    scatter_idx = jnp.where(mask & in_extent, flat, b * m + 1)
     point_id = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1) + 1
     grid = (
         jnp.zeros((b * m + 1,), jnp.int32)
         .at[scatter_idx.reshape(-1)]
         .set(point_id.reshape(-1), mode="drop", unique_indices=True)
     )
+    if os.environ.get("SCENESPLAT_DEBUG_EXTENT") == "1":
+        n_oob = jnp.sum(mask & ~in_extent)
+        jax.debug.print(
+            "subm_conv dense plan: {n} valid points outside dense_extent "
+            "{e} (losing neighbor edges)", n=n_oob, e=extent,
+        )
 
     cz = jnp.clip(z, 0, ez - 1)  # keep gather rows in bounds for OOB points
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kernel_size), 2)

@@ -21,11 +21,47 @@ from __future__ import annotations
 import functools
 
 import os
+import warnings
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e9
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_probe_ok(patch_size: int, num_heads: int, c: int,
+                     dtype_name: str) -> bool:
+    """One-time fwd+bwd compile probe of the Pallas kernel on the real backend.
+
+    Mosaic layout errors surface only at a real-TPU compile (interpret-mode
+    tests provably cannot catch them — the round-1 bwd kernel passed every
+    interpret test yet had never compiled on hardware). So before the default
+    dispatch trusts the kernel for a given instantiation class, compile a tiny
+    B=1, P=1 instance of the exact (K, H, C, dtype) signature and fall back to
+    the jnp reference path on any failure. Cached per signature; the probe
+    costs one small Mosaic compile.
+    """
+    from .pallas_attn import flash_window_attention
+
+    dtype = jnp.dtype(dtype_name)
+    qkv = jnp.zeros((1, patch_size, 3, c), dtype)
+    valid = jnp.ones((1, patch_size), bool)
+
+    def loss(q):
+        out = flash_window_attention(q, valid, patch_size, num_heads)
+        return out.astype(jnp.float32).sum()
+
+    try:
+        jax.jit(jax.grad(loss)).lower(qkv).compile()
+        return True
+    except Exception as e:  # Mosaic rejection, VMEM overflow, ...
+        warnings.warn(
+            "Pallas flash-window attention failed to compile for "
+            f"(K={patch_size}, H={num_heads}, C={c}, {dtype_name}): {e!r}; "
+            "falling back to the jnp reference attention for this signature."
+        )
+        return False
 
 
 def _patch_attention(q, k, v, key_valid, scale, upcast_softmax=True):
@@ -112,8 +148,14 @@ def window_attention(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
         if os.environ.get("SCENESPLAT_NO_PALLAS_ATTN") == "1":
-            use_pallas = False  # bench.py safety valve for Mosaic regressions
+            use_pallas = False  # manual override for Mosaic regressions
             # (only overrides the default — an explicit use_pallas=True wins)
+        if use_pallas:
+            # auto-fallback: never hard-crash train/test on a Mosaic rejection
+            use_pallas = _pallas_probe_ok(
+                patch_size, num_heads, qkv_sorted.shape[-1],
+                str(qkv_sorted.dtype),
+            )
     if use_pallas:
         from .pallas_attn import flash_window_attention
 
