@@ -88,7 +88,13 @@ class ScanNet200GSDataset(ScanNetGSDataset):
     EVAL_PC_ASSETS = ["pc_coord", "pc_segment200"]
     SEGMENT_KEYS = ("segment200", "segment20", "segment")
     PC_SEGMENT_KEYS = ("pc_segment200", "pc_segment20", "pc_segment")
-    class2id = None  # filled lazily from metadata when writing submissions
+
+    @property
+    def class2id(self):
+        # ScanNet200 benchmark ids (packaged scannet200_constants table)
+        from scenesplat_tpu.data import metadata
+
+        return metadata.scannet_class_ids(200)
 
 
 @DATASETS.register_module()

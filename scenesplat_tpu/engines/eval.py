@@ -24,7 +24,12 @@ from scenesplat_tpu.utils.misc import (
 
 
 def load_text_embeddings(path: str) -> np.ndarray:
-    """Load [num_classes, D] text embeddings from .npy or torch .pt."""
+    """Load [num_classes, D] text embeddings from .npy, torch .pt, or a
+    packaged table via ``builtin:<name>`` (data/metadata)."""
+    if isinstance(path, str) and path.startswith("builtin:"):
+        from scenesplat_tpu.data import metadata
+
+        return metadata.text_embeddings(path.split(":", 1)[1])
     if path.endswith(".npy"):
         emb = np.load(path)
     else:
@@ -40,6 +45,10 @@ def load_text_embeddings(path: str) -> np.ndarray:
 def load_class_names(path_or_list) -> List[str]:
     if isinstance(path_or_list, (list, tuple)):
         return list(path_or_list)
+    if isinstance(path_or_list, str) and path_or_list.startswith("builtin:"):
+        from scenesplat_tpu.data import metadata
+
+        return metadata.class_labels(path_or_list.split(":", 1)[1])
     with open(path_or_list) as f:
         return [ln.strip() for ln in f if ln.strip()]
 
@@ -58,6 +67,13 @@ def zero_shot_predict(
     """
     logits = feat @ text_emb.T
     prob = 1.0 / (1.0 + np.exp(-logits))
+    if top3:
+        # ScanNet++ protocol (reference test.py:373-374): keep the top-3
+        # class indices per point, best first, with NO confidence threshold
+        # (the reference applies the threshold only on the non-top3 branch).
+        k = min(3, prob.shape[1])
+        pred = np.argsort(-prob, axis=1, kind="stable")[:, :k].astype(np.int32)
+        return pred, prob
     pred = prob.argmax(axis=1).astype(np.int32)
     conf = prob.max(axis=1)
     if confidence_threshold > 0:

@@ -25,6 +25,10 @@ from scenesplat_tpu.engines.eval import (
     load_text_embeddings,
 )
 from scenesplat_tpu.engines.infer import FeatureExtractor
+from scenesplat_tpu.parallel.dist_eval import (
+    allreduce_sum_arrays,
+    partition_indices,
+)
 from .default import HOOKS, HookBase
 
 
@@ -98,7 +102,10 @@ class LangPretrainZeroShotSemSegEvalMulti(HookBase):
             n_scenes = len(dataset)
             if self.max_scenes:
                 n_scenes = min(n_scenes, self.max_scenes)
-            for i in range(n_scenes):
+            # per-process scene shard + confusion-matrix allreduce
+            # (reference evaluator.py:845-851) — every host ends with the
+            # same metrics, so checkpoint selection stays consistent
+            for i in partition_indices(n_scenes):
                 seed_transforms((self._seed(), di, i))
                 sample = dataset[i]
                 feat = self.extractor(variables, sample)
@@ -122,6 +129,11 @@ class LangPretrainZeroShotSemSegEvalMulti(HookBase):
                     confidence_threshold=self.confidence_threshold,
                     ignore_index=self.ignore_index,
                 )
+            metric.intersection, metric.union, metric.target = (
+                allreduce_sum_arrays(
+                    (metric.intersection, metric.union, metric.target)
+                )
+            )
             res = metric.results()
             fg_mious.append(res["fg_mIoU"])
             self.trainer.logger.info(
@@ -175,7 +187,7 @@ class SemSegEvaluator(HookBase):
         n_scenes = len(self.dataset)
         if self.max_scenes:
             n_scenes = min(n_scenes, self.max_scenes)
-        for i in range(n_scenes):
+        for i in partition_indices(n_scenes):
             seed_transforms((self._seed(), i))
             sample = self.dataset[i]
             logits = self.extractor(variables, sample)
@@ -187,6 +199,12 @@ class SemSegEvaluator(HookBase):
             inter = inter + i_
             union = union + u_
             target = target + t_
+        if np.ndim(inter) == 0:  # this rank drew zero scenes
+            nc = self.num_classes or 1
+            inter = np.zeros(nc)
+            union = np.zeros(nc)
+            target = np.zeros(nc)
+        inter, union, target = allreduce_sum_arrays((inter, union, target))
         iou = inter / np.maximum(union, 1e-10)
         seen = target > 0
         miou = float(iou[seen].mean()) if seen.any() else 0.0
@@ -243,7 +261,18 @@ class ClsEvaluator(HookBase):
         union = np.zeros(self.num_classes)
         target = np.zeros(self.num_classes)
         n_pts = self.batch_points or self.trainer.cfg.data.get("num_points", 1024)
-        for i in range(n_scenes):
+        # Round padding targets up to a patch-size multiple (window attention
+        # asserts n % patch_size == 0) and to a bucket ladder so oversized
+        # scenes don't compile one program per distinct size.
+        from scenesplat_tpu.engines.infer import bucket_size, default_buckets
+
+        bb_cfg = self.trainer.cfg.model.get("backbone", {})
+        patch = int(np.lcm.reduce(
+            [int(p) for p in bb_cfg.get("enc_patch_size", (1,))]
+            + [int(p) for p in bb_cfg.get("dec_patch_size", (1,))]
+        ))
+        ladder = default_buckets(patch, lo=max(512, patch))
+        for i in partition_indices(n_scenes):
             seed_transforms((self._seed(), i))
             sample = self.dataset[i]
             coord = np.asarray(sample["coord"], np.float32)
@@ -251,6 +280,8 @@ class ClsEvaluator(HookBase):
             gc = np.asarray(sample["grid_coord"], np.int32)
             n = coord.shape[0]
             tgt = max(n_pts, n)
+            if n > n_pts or tgt % patch:
+                tgt = bucket_size(tgt, patch, ladder)
             pad = tgt - n
             mask = np.zeros(tgt, bool)
             mask[:n] = True
@@ -270,6 +301,7 @@ class ClsEvaluator(HookBase):
                     inter[label] += 1
                 elif 0 <= pred < self.num_classes:
                     union[pred] += 1
+        inter, union, target = allreduce_sum_arrays((inter, union, target))
         iou = inter / np.maximum(union, 1e-10)
         acc = inter / np.maximum(target, 1e-10)
         seen = target > 0
@@ -340,7 +372,7 @@ class InsSegEvaluator(HookBase):
         n_scenes = len(self.dataset)
         if self.max_scenes:
             n_scenes = min(n_scenes, self.max_scenes)
-        for i in range(n_scenes):
+        for i in partition_indices(n_scenes):
             seed_transforms((self._seed(), i))
             sample = self.dataset[i]
             out = self.extractor(variables, sample)
@@ -363,6 +395,11 @@ class InsSegEvaluator(HookBase):
                 segment_ignore_index=self.segment_ignore_index,
                 instance_ignore_index=self.instance_ignore_index,
             ))
+        # AP ranks proposal scores globally — gather every rank's per-scene
+        # association records before matching (reference comm.gather)
+        from scenesplat_tpu.parallel.dist_eval import allgather_pyobjects
+
+        scenes = allgather_pyobjects(scenes)
         scores = evaluate_matches(
             scenes, self.num_classes, self.names,
             segment_ignore_index=self.segment_ignore_index,

@@ -24,6 +24,10 @@ from scenesplat_tpu.engines.eval import (
     load_text_embeddings,
 )
 from scenesplat_tpu.engines.infer import FeatureExtractor
+from scenesplat_tpu.parallel.dist_eval import (
+    allreduce_sum_arrays,
+    partition_indices,
+)
 from scenesplat_tpu.utils.logger import get_root_logger
 from scenesplat_tpu.utils.misc import clustering_voting, neighbor_voting
 from scenesplat_tpu.utils.registry import Registry
@@ -55,7 +59,7 @@ class ZeroShotSemSegTester(TesterBase):
         confidence_threshold: float = 0.1,
         ignore_index: int = -1,
         pred_label_mapping: Optional[dict] = None,
-        top3: bool = False,
+        top3: Optional[bool] = None,
         save_feat: bool = False,
         skip_eval: bool = False,
         save_path: Optional[str] = None,
@@ -73,6 +77,11 @@ class ZeroShotSemSegTester(TesterBase):
         self.confidence_threshold = confidence_threshold
         self.ignore_index = ignore_index
         self.pred_label_mapping = pred_label_mapping
+        if top3 is None:
+            # the reference keys the protocol on the dataset type, not a
+            # config knob ('ScanNetPP' in cfg.data.test.type, test.py:372)
+            top3 = "ScanNetPP" in type(self.dataset).__name__
+        self.top3 = bool(top3)
         self.save_feat = save_feat
         self.skip_eval = skip_eval
         self.save_path = save_path
@@ -86,7 +95,10 @@ class ZeroShotSemSegTester(TesterBase):
         n_scenes = len(self.dataset)
         if self.max_scenes:
             n_scenes = min(n_scenes, self.max_scenes)
-        for i in range(n_scenes):
+        # multi-host: each process evaluates its round-robin scene shard;
+        # accumulators are allreduced before reporting (reference
+        # test.py:549-666 record gather)
+        for i in partition_indices(n_scenes):
             seed_transforms((self.seed, i))
             scene = self.dataset[i]
             name = scene.get("name", f"scene{i}")
@@ -115,9 +127,18 @@ class ZeroShotSemSegTester(TesterBase):
                     os.path.join(self.save_path, f"{name}_feat.npy"),
                     feat_sum / norm,
                 )
-            pred = prob.argmax(axis=1).astype(np.int32)
-            conf = prob.max(axis=1) / np.maximum(hits, 1)
-            pred[conf < self.confidence_threshold] = self.ignore_index
+            if self.top3:
+                # ScanNet++ protocol (reference test.py:373-374): [N, 3]
+                # top-class indices, best first, no confidence threshold
+                # (the reference thresholds only on the non-top3 branch).
+                k3 = min(3, prob.shape[1])
+                pred = np.argsort(
+                    -prob, axis=1, kind="stable"
+                )[:, :k3].astype(np.int32)
+            else:
+                pred = prob.argmax(axis=1).astype(np.int32)
+                conf = prob.max(axis=1) / np.maximum(hits, 1)
+                pred[conf < self.confidence_threshold] = self.ignore_index
 
             # inverse-map to original resolution when available
             valid = np.ones(n, bool)
@@ -142,6 +163,11 @@ class ZeroShotSemSegTester(TesterBase):
                     getattr(self.dataset, "class2id", None),
                 )
 
+            if self.top3 and pred.ndim > 1:
+                # top-1 column for voting and metrics (reference test.py:401,
+                # 838: "pred = pred[:, 0]  # for mIoU")
+                pred = np.ascontiguousarray(pred[:, 0])
+
             if self.enable_voting and "pc_coord" in scene:
                 vmask = valid & (pred != self.ignore_index)
                 pred_eval = neighbor_voting(
@@ -160,6 +186,11 @@ class ZeroShotSemSegTester(TesterBase):
                 metric.update(pred_eval, target)
                 if self.verbose:
                     self.logger.info(f"[{i + 1}/{n_scenes}] {name} done")
+        metric.intersection, metric.union, metric.target = (
+            allreduce_sum_arrays(
+                (metric.intersection, metric.union, metric.target)
+            )
+        )
         results = metric.results() if not self.skip_eval else {}
         if results:
             self.logger.info(
@@ -188,7 +219,7 @@ class ClsTester(TesterBase):
         n = len(self.dataset)
         if self.max_scenes:
             n = min(n, self.max_scenes)
-        for i in range(n):
+        for i in partition_indices(n):
             seed_transforms((self.seed, i))
             sample = self.dataset[i]
             logits = self.extractor(self.variables, sample)
@@ -200,6 +231,9 @@ class ClsTester(TesterBase):
             target = int(np.asarray(sample["category"]).reshape(-1)[0])
             correct += int(pred == target)
             total += 1
+        correct, total = (
+            int(v) for v in allreduce_sum_arrays((correct, total))
+        )
         acc = correct / max(total, 1)
         self.logger.info(f"cls accuracy: {acc:.4f} ({correct}/{total})")
         return {"allAcc": acc}
@@ -219,11 +253,13 @@ class SemSegTester(TesterBase):
     def test(self):
         from scenesplat_tpu.utils.misc import intersection_and_union
 
-        inter = union = target_area = 0
+        inter = np.zeros(self.num_classes, np.float64)
+        union = np.zeros(self.num_classes, np.float64)
+        target_area = np.zeros(self.num_classes, np.float64)
         n_scenes = len(self.dataset)
         if self.max_scenes:
             n_scenes = min(n_scenes, self.max_scenes)
-        for i in range(n_scenes):
+        for i in partition_indices(n_scenes):
             seed_transforms((self.seed, i))
             scene = self.dataset[i]
             segment = np.asarray(scene["segment"]).reshape(-1)
@@ -243,6 +279,9 @@ class SemSegTester(TesterBase):
             inter = inter + i_
             union = union + u_
             target_area = target_area + t_
+        inter, union, target_area = allreduce_sum_arrays(
+            (inter, union, target_area)
+        )
         iou = inter / np.maximum(union, 1e-10)
         seen = target_area > 0
         miou = float(iou[seen].mean()) if seen.any() else 0.0
@@ -286,10 +325,11 @@ class ClsVotingTester(TesterBase):
         prob_acc = {}
         targets = {}
         best = {self.metric: -1.0}
+        shard = partition_indices(n)
         for rep in range(self.num_repeat):
             inter = np.zeros(self.num_classes)
             target = np.zeros(self.num_classes)
-            for i in range(n):
+            for i in shard:
                 seed_transforms((self.seed, rep, i))
                 sample = self.dataset[i]
                 p = self._scene_prob(sample)
@@ -301,6 +341,7 @@ class ClsVotingTester(TesterBase):
                     target[label] += 1
                     if pred == label:
                         inter[label] += 1
+            inter, target = allreduce_sum_arrays((inter, target))
             acc_cls = inter / np.maximum(target, 1e-10)
             record = {
                 "allAcc": float(inter.sum() / max(target.sum(), 1e-10)),
@@ -338,7 +379,7 @@ class PartSegTester(TesterBase):
         n = len(ds)
         if self.max_scenes:
             n = min(n, self.max_scenes)
-        for i in range(n):
+        for i in partition_indices(n):
             sample = ds[i]
             label = np.asarray(sample["segment"]).reshape(-1)
             variants = sample.get("voting_list", [sample])
@@ -361,6 +402,9 @@ class PartSegTester(TesterBase):
                     parts_iou[j] = inter / (union + 1e-10)
             iou_category[cat_idx] += parts_iou.mean()
             iou_count[cat_idx] += 1
+        iou_category, iou_count = allreduce_sum_arrays(
+            (iou_category, iou_count)
+        )
         ins_miou = iou_category.sum() / (iou_count.sum() + 1e-10)
         cat_miou = float((iou_category / (iou_count + 1e-10)).mean())
         self.logger.info(

@@ -94,3 +94,67 @@ def test_submission_writers(tmp_path):
         dtype=np.uint32,
     )
     assert (out == np.array([10, 11, 13, 11])).all()
+
+
+def test_top3_matches_torch_topk():
+    """Golden: zero_shot_predict(top3=True) == pred.topk(3, dim=1)[1]
+    (reference test.py:373-374)."""
+    import torch
+
+    from scenesplat_tpu.engines.eval import zero_shot_predict
+
+    rng = np.random.default_rng(3)
+    feat = rng.normal(size=(257, 16)).astype(np.float32)
+    feat /= np.linalg.norm(feat, axis=1, keepdims=True)
+    text = rng.normal(size=(21, 16)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+
+    pred, prob = zero_shot_predict(feat, text, confidence_threshold=0.5,
+                                   top3=True)
+    ref = torch.from_numpy(prob).topk(3, dim=1)[1].numpy()
+    assert pred.shape == (257, 3)
+    # float probs from a continuous draw: no ties, ordering is well-defined
+    np.testing.assert_array_equal(pred, ref)
+
+
+def test_zero_shot_tester_top3(tmp_path):
+    """ScanNetPP protocol end-to-end: [N, 3] comma-delimited submission,
+    metrics from the top-1 column (reference test.py:372-401)."""
+    from scenesplat_tpu.engines.eval import ZeroShotMetric
+
+    n, c, d = 64, 5, 8
+    rng = np.random.default_rng(7)
+    text = rng.normal(size=(c, d)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    segment = rng.integers(0, c, size=n).astype(np.int32)
+    feat = text[segment] + rng.normal(0, 0.05, size=(n, d)).astype(np.float32)
+
+    class ScanNetPPStub(list):
+        pass
+
+    frag = dict(_id=0, index=np.arange(n))
+    scene = dict(
+        name="sc0", segment=segment, coord=rng.normal(size=(n, 3)),
+        fragment_list=[frag],
+    )
+    t = _make_tester(
+        "ZeroShotSemSegTester", ScanNetPPStub([scene]),
+        _StubExtractor({0: feat}),
+        class_names=[f"c{i}" for i in range(c)], text_emb=text,
+        excluded_classes=(), enable_voting=False, vote_k=3,
+        confidence_threshold=0.9, ignore_index=-1, pred_label_mapping=None,
+        top3=True, save_feat=False, skip_eval=False,
+        save_path=str(tmp_path), save_submission=True, max_scenes=None,
+        verbose=False,
+    )
+    res = t.test()
+    sub = np.loadtxt(tmp_path / "submit" / "sc0.txt", delimiter=",",
+                     dtype=np.int64)
+    assert sub.shape == (n, 3)
+    # the top-1 column IS the argmax — no confidence threshold on this path
+    logits = feat @ text.T
+    prob = 1.0 / (1.0 + np.exp(-logits))
+    np.testing.assert_array_equal(sub[:, 0], prob.argmax(1))
+    ref_metric = ZeroShotMetric([f"c{i}" for i in range(c)], (), -1)
+    ref_metric.update(prob.argmax(1).astype(np.int32), segment)
+    assert np.isclose(res["mIoU"], ref_metric.results()["mIoU"])
