@@ -112,20 +112,34 @@ class ZeroShotMetric:
         self.union += u
         self.target += t
 
-    def results(self):
+    def results(self, protocol: str = "hook"):
+        """protocol='hook': present classes = target>0 (reference
+        evaluator.py:860-886). protocol='tester': mIoU over union!=0 and
+        mAcc over target!=0 (reference test.py:566-622) — the two reference
+        code paths mask differently."""
         iou = self.intersection / np.maximum(self.union, 1e-10)
         acc = self.intersection / np.maximum(self.target, 1e-10)
         seen = self.target > 0
-        fg = seen.copy()
-        fg[self.excluded] = False
+        iou_mask = (self.union > 0) if protocol == "tester" else seen
+        fg_iou = iou_mask.copy()
+        fg_iou[self.excluded] = False
+        fg_acc = seen.copy()
+        fg_acc[self.excluded] = False
+        fg_t = self.target.copy()
+        fg_i = self.intersection.copy()
+        fg_i[self.excluded] = 0
+        fg_t[self.excluded] = 0
         out = {
-            "mIoU": float(iou[seen].mean()) if seen.any() else 0.0,
-            "fg_mIoU": float(iou[fg].mean()) if fg.any() else 0.0,
+            "mIoU": float(iou[iou_mask].mean()) if iou_mask.any() else 0.0,
+            "fg_mIoU": float(iou[fg_iou].mean()) if fg_iou.any() else 0.0,
             "mAcc": float(acc[seen].mean()) if seen.any() else 0.0,
+            "fg_mAcc": float(acc[fg_acc].mean()) if fg_acc.any() else 0.0,
             "allAcc": float(
                 self.intersection.sum() / max(self.target.sum(), 1e-10)
             ),
+            "fg_allAcc": float(fg_i.sum() / max(fg_t.sum(), 1e-10)),
             "iou_per_class": iou,
+            "acc_per_class": acc,
         }
         return out
 

@@ -25,6 +25,7 @@ from scenesplat_tpu.engines.eval import (
 )
 from scenesplat_tpu.engines.infer import FeatureExtractor
 from scenesplat_tpu.parallel.dist_eval import (
+    allgather_pyobjects,
     allreduce_sum_arrays,
     partition_indices,
 )
@@ -92,6 +93,7 @@ class ZeroShotSemSegTester(TesterBase):
         metric = ZeroShotMetric(
             self.class_names, self.excluded_classes, self.ignore_index
         )
+        record = {}  # per-scene (intersection, union, target), rank-local
         n_scenes = len(self.dataset)
         if self.max_scenes:
             n_scenes = min(n_scenes, self.max_scenes)
@@ -183,26 +185,100 @@ class ZeroShotSemSegTester(TesterBase):
                     pred_eval, np.asarray(scene["origin_instance"]), self.ignore_index
                 )
             if not self.skip_eval and target is not None:
+                before = (metric.intersection.copy(), metric.union.copy(),
+                          metric.target.copy())
                 metric.update(pred_eval, target)
-                if self.verbose:
-                    self.logger.info(f"[{i + 1}/{n_scenes}] {name} done")
-        metric.intersection, metric.union, metric.target = (
-            allreduce_sum_arrays(
-                (metric.intersection, metric.union, metric.target)
+                i_, u_, t_ = (
+                    metric.intersection - before[0],
+                    metric.union - before[1],
+                    metric.target - before[2],
+                )
+                record[name] = dict(intersection=i_, union=u_, target=t_)
+                # running per-scene log (reference test.py:535-546)
+                scene_iou = (i_ / (u_ + 1e-10))[u_ != 0]
+                run_iou = (
+                    metric.intersection / (metric.union + 1e-10)
+                )[metric.union != 0]
+                self.logger.info(
+                    f"Test: {name} [{i + 1}/{n_scenes}]-{len(target)} "
+                    f"Accuracy {i_.sum() / (t_.sum() + 1e-10):.4f} "
+                    f"mIoU {scene_iou.mean() if scene_iou.size else 0.0:.4f} "
+                    f"({run_iou.mean() if run_iou.size else 0.0:.4f})"
+                )
+        # merge per-scene records from every rank (reference test.py:549-560
+        # comm.gather) and recompute the totals from the merged record
+        all_records = allgather_pyobjects(list(record.items()))
+        if not self.skip_eval and all_records:
+            merged = dict(all_records)
+            metric.intersection = np.sum(
+                [v["intersection"] for v in merged.values()], axis=0
+            ).astype(np.float64)
+            metric.union = np.sum(
+                [v["union"] for v in merged.values()], axis=0
+            ).astype(np.float64)
+            metric.target = np.sum(
+                [v["target"] for v in merged.values()], axis=0
+            ).astype(np.float64)
+        results = metric.results(protocol="tester") if not self.skip_eval else {}
+        if results:
+            self._log_final_metrics(results)
+        return results
+
+    def _log_final_metrics(self, results):
+        """Final metric report + eval_results.txt (reference
+        test.py:566-666)."""
+        self.logger.info(
+            "Val result: mIoU/mAcc/allAcc {:.4f}/{:.4f}/{:.4f}".format(
+                results["mIoU"], results["mAcc"], results["allAcc"]
             )
         )
-        results = metric.results() if not self.skip_eval else {}
-        if results:
+        excluded = [
+            i for i, nm in enumerate(self.class_names)
+            if nm in set(self.excluded_classes)
+        ]
+        if excluded:
             self.logger.info(
-                "test results: "
-                + "  ".join(f"{k}: {v:.4f}" for k, v in results.items()
-                            if not isinstance(v, np.ndarray))
-            )
-            for ci, cname in enumerate(self.class_names):
-                self.logger.info(
-                    f"  class {ci:3d} {cname}: iou {results['iou_per_class'][ci]:.4f}"
+                "Foreground Val result (excluding {} classes): "
+                "mIoU/mAcc/allAcc {:.4f}/{:.4f}/{:.4f}".format(
+                    len(excluded), results["fg_mIoU"], results["fg_mAcc"],
+                    results["fg_allAcc"],
                 )
-        return results
+            )
+        iou = results["iou_per_class"]
+        acc = results["acc_per_class"]
+        for ci, cname in enumerate(self.class_names):
+            self.logger.info(
+                f"Class_{ci}-{cname} Result: iou/accuracy "
+                f"{iou[ci]:.4f}/{acc[ci]:.4f}"
+            )
+        if not self.save_path:
+            return
+        os.makedirs(self.save_path, exist_ok=True)
+        with open(os.path.join(self.save_path, "eval_results.txt"), "w") as f:
+            f.write(
+                "Val result: mIoU/mAcc/allAcc {:.4f}/{:.4f}/{:.4f}\n".format(
+                    results["mIoU"], results["mAcc"], results["allAcc"]
+                )
+            )
+            if excluded:
+                f.write(
+                    "Foreground Val result (excluding {} classes): "
+                    "mIoU/mAcc/allAcc {:.4f}/{:.4f}/{:.4f}\n".format(
+                        len(excluded), results["fg_mIoU"],
+                        results["fg_mAcc"], results["fg_allAcc"],
+                    )
+                )
+            f.write("\nPer-class results:\n")
+            for ci, cname in enumerate(self.class_names):
+                f.write(
+                    "Class_{}-{} Result: iou/accuracy {:.4f}/{:.4f}\n".format(
+                        ci, cname, iou[ci], acc[ci]
+                    )
+                )
+            if excluded:
+                f.write("\nExcluded classes:\n")
+                for idx in excluded:
+                    f.write(f"Class_{idx}-{self.class_names[idx]}\n")
 
 
 @TESTERS.register_module()
@@ -241,14 +317,25 @@ class ClsTester(TesterBase):
 
 @TESTERS.register_module()
 class SemSegTester(TesterBase):
-    """Supervised fragment-voting tester (reference test.py:669-955)."""
+    """Supervised fragment-voting tester (reference test.py:669-955):
+    accumulates fragment logits, optional ScanNet++ top-3 protocol
+    (reference l.798), benchmark submission writing (l.820-850), per-scene
+    running log, and per-rank scene sharding with record merge."""
 
     def __init__(self, num_classes: int, ignore_index: int = -1,
-                 max_scenes: Optional[int] = None, **kwargs):
+                 max_scenes: Optional[int] = None,
+                 top3: Optional[bool] = None,
+                 save_path: Optional[str] = None,
+                 save_submission: bool = False, **kwargs):
         super().__init__(**kwargs)
         self.num_classes = num_classes
         self.ignore_index = ignore_index
         self.max_scenes = max_scenes
+        if top3 is None:
+            top3 = "ScanNetPP" in type(self.dataset).__name__
+        self.top3 = bool(top3)
+        self.save_path = save_path
+        self.save_submission = save_submission
 
     def test(self):
         from scenesplat_tpu.utils.misc import intersection_and_union
@@ -262,6 +349,7 @@ class SemSegTester(TesterBase):
         for i in partition_indices(n_scenes):
             seed_transforms((self.seed, i))
             scene = self.dataset[i]
+            name = scene.get("name", f"scene{i}")
             segment = np.asarray(scene["segment"]).reshape(-1)
             n = segment.shape[0]
             logits_sum = np.zeros((n, self.num_classes), np.float32)
@@ -269,16 +357,36 @@ class SemSegTester(TesterBase):
                 logits = self.extractor(self.variables, frag)
                 idx = np.asarray(frag["index"]).reshape(-1)
                 logits_sum[idx] += logits
-            pred = logits_sum.argmax(axis=1).astype(np.int32)
+            if self.top3:
+                k3 = min(3, self.num_classes)
+                pred = np.argsort(
+                    -logits_sum, axis=1, kind="stable"
+                )[:, :k3].astype(np.int32)
+            else:
+                pred = logits_sum.argmax(axis=1).astype(np.int32)
             if "origin_segment" in scene and "inverse" in scene:
                 pred = pred[np.asarray(scene["inverse"]).reshape(-1)]
                 segment = np.asarray(scene["origin_segment"]).reshape(-1)
+            if self.save_submission and self.save_path:
+                _write_submission(
+                    self.save_path, name, pred, type(self.dataset).__name__,
+                    getattr(self.dataset, "class2id", None),
+                    getattr(self.dataset, "learning_map_inv", None),
+                )
+            if self.top3 and pred.ndim > 1:
+                pred = np.ascontiguousarray(pred[:, 0])  # reference l.838
             i_, u_, t_ = intersection_and_union(
                 pred, segment, self.num_classes, self.ignore_index
             )
             inter = inter + i_
             union = union + u_
             target_area = target_area + t_
+            run_iou = (inter / (union + 1e-10))[union != 0]
+            self.logger.info(
+                f"Test: {name} [{i + 1}/{n_scenes}]-{len(segment)} "
+                f"Accuracy {i_.sum() / (t_.sum() + 1e-10):.4f} "
+                f"mIoU ({run_iou.mean() if run_iou.size else 0.0:.4f})"
+            )
         inter, union, target_area = allreduce_sum_arrays(
             (inter, union, target_area)
         )

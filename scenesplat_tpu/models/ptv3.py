@@ -131,15 +131,22 @@ class SubMConv(nn.Module):
                 jnp.float32,
             )
         else:
-            # fan-in init matching torch kaiming-uniform default for convs
+            # fan-in init matching torch kaiming-uniform default for convs.
+            # The centering must live INSIDE the initializer: a post-`param`
+            # shift would re-apply to restored checkpoint weights on every
+            # call (caught by tests/test_full_model_golden.py).
             bound = 1.0 / math.sqrt(self.in_channels * k3)
+
+            def _kaiming_uniform(key, shape, dtype=jnp.float32):
+                return jax.random.uniform(
+                    key, shape, dtype, minval=-bound, maxval=bound
+                )
+
             kernel = self.param(
                 "kernel",
-                nn.initializers.uniform(scale=2 * bound),
+                _kaiming_uniform,
                 (k3, self.in_channels, self.out_channels),
-                jnp.float32,
             )
-            kernel = kernel - bound  # uniform(0, 2b) -> uniform(-b, b)
         bias = (
             self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
             if self.use_bias
@@ -250,7 +257,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, feat, state: StageState, deterministic: bool,
-                 cond=(None, None)):
+                 cond=(None, None), cpe_feat=None):
         c = self.channels
         ln = lambda name: _cond_ln(c, self.dtype, name, self.pd)  # noqa: E731
         # drop_path == per-point residual-branch dropout (timm DropPath on a
@@ -261,8 +268,12 @@ class Block(nn.Module):
         )
 
         shortcut = feat
+        # cpe_feat: reference-parity override for the first post-unpooling
+        # block, whose xCPE conv reads the un-resynced sparse features (see
+        # SerializedUnpooling docstring)
         x = SubMConv(c, c, kernel_size=3, use_bias=True, dtype=self.dtype,
-                     name="cpe_conv")(feat, state.conv_plan)
+                     name="cpe_conv")(
+            feat if cpe_feat is None else cpe_feat, state.conv_plan)
         x = nn.Dense(c, dtype=self.dtype, name="cpe_linear")(x)
         x = ln("cpe_norm")(x, cond)
         feat = shortcut + x
@@ -358,6 +369,13 @@ class SerializedUnpooling(nn.Module):
     @nn.compact
     def __call__(self, feat, parent_feat, parent_mask, mask, plan: PoolingPlan,
                  deterministic: bool, cond=(None, None)):
+        """Returns (unpooled_feat, skip_proj_feat). The second output exists
+        for reference parity: the reference's unpooling assigns the summed
+        feat directly (point_transformer_v3m1_base.py:480) WITHOUT re-syncing
+        point.sparse_conv_feat, so the first decoder block's xCPE conv reads
+        the proj_skip features, not the sum (modules.py:80-84 syncs only on
+        torch/spconv module calls). Blocks after the first see the synced
+        sum."""
         x = nn.Dense(self.out_channels, dtype=self.dtype, name="proj")(feat)
         x = _cond_bn(self.out_channels, self.dtype, "proj_norm", self.pd)(
             x, mask, deterministic, cond
@@ -367,7 +385,7 @@ class SerializedUnpooling(nn.Module):
         skip = _cond_bn(self.out_channels, self.dtype, "proj_skip_norm", self.pd)(
             skip, parent_mask, deterministic, cond)
         skip = _gelu(skip)
-        return skip + unpool_values(x, plan.cluster_of_point)
+        return skip + unpool_values(x, plan.cluster_of_point), skip
 
 
 class Embedding(nn.Module):
@@ -957,7 +975,7 @@ class PointTransformerV3(nn.Module):
             dec_channels = list(self.dec_channels) + [self.enc_channels[-1]]
             for s in reversed(range(num_stages - 1)):
                 parent_feat, parent_state, plan = skips.pop()
-                feat = SerializedUnpooling(
+                feat, stale_cpe_feat = SerializedUnpooling(
                     in_channels=dec_channels[s + 1],
                     skip_channels=self.enc_channels[s],
                     out_channels=dec_channels[s],
@@ -989,7 +1007,8 @@ class PointTransformerV3(nn.Module):
                         pd=pd,
                         dtype=self.dtype,
                         name=f"dec{s}_block{i}",
-                    )(feat, state, deterministic, cond=cond)
+                    )(feat, state, deterministic, cond=cond,
+                      cpe_feat=stale_cpe_feat if i == 0 else None)
 
         out = point.replace(
             feat=feat,

@@ -160,6 +160,9 @@ def convert_ptv3_lang_checkpoint(
             put_ln(f"{t}.norm2.0", (name, "norm2"))
             put_dense(f"{t}.attn.qkv", (name, "attn", "qkv"))
             put_dense(f"{t}.attn.proj", (name, "attn", "proj"))
+            rpe = torch_get(f"{t}.attn.rpe.rpe_table")
+            if rpe is not None:
+                _assign(bb_params, (name, "attn", "rpe_table"), rpe, filled)
             put_dense(f"{t}.mlp.0.fc1", (name, "mlp", "fc1"))
             put_dense(f"{t}.mlp.0.fc2", (name, "mlp", "fc2"))
             continue

@@ -1,0 +1,257 @@
+"""EXECUTABLE CPU stand-ins for the reference's CUDA-only deps.
+
+conftest.load_reference_package installs inert stubs — enough to *import*
+reference modules for goldens on pure-torch code, but a full-model forward
+needs spconv.SubMConv3d and torch_scatter.segment_csr to actually execute.
+These implement both in pure torch/numpy:
+
+- SubMConv3d: submanifold sparse conv = cross-correlation restricted to
+  active sites. out[p] = sum_k W[k] @ x[p + (k - r)] where the neighbor
+  lookup hits only occupied voxels (spconv semantics); weight layout
+  [k, k, k, in, out] (spconv's classic layout, understood by
+  utils/ckpt_bridge._conv_kernel).
+- segment_csr: CSR-segment reduction (sum/mean/min/max), the only
+  torch_scatter entry point PTv3 uses (point_transformer_v3m1_base.py:416).
+
+install_executable_stubs() swaps these into sys.modules and purges cached
+pointcept.models modules so a subsequent load_reference_package binds the
+reference model code against them.
+"""
+
+from __future__ import annotations
+
+import itertools
+import sys
+import types
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+
+class SparseConvTensor:
+    def __init__(self, features, indices, spatial_shape, batch_size):
+        self.features = features
+        self.indices = indices
+        self.spatial_shape = list(spatial_shape)
+        self.batch_size = batch_size
+
+    def replace_feature(self, feat):
+        return SparseConvTensor(
+            feat, self.indices, self.spatial_shape, self.batch_size
+        )
+
+
+class SubMConv3d(nn.Module):
+    def __init__(self, in_channels, out_channels, kernel_size=3, stride=1,
+                 padding=0, dilation=1, bias=True, indice_key=None, **kw):
+        super().__init__()
+        assert stride == 1 and dilation == 1, "SubM stub supports stride 1"
+        k = kernel_size if isinstance(kernel_size, int) else kernel_size[0]
+        self.kernel_size = k
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.indice_key = indice_key
+        self.weight = nn.Parameter(
+            torch.empty(k, k, k, in_channels, out_channels)
+        )
+        nn.init.kaiming_uniform_(
+            self.weight.view(-1, out_channels), a=5**0.5
+        )
+        if bias:
+            self.bias = nn.Parameter(torch.zeros(out_channels))
+        else:
+            self.bias = None
+
+    def forward(self, x: SparseConvTensor) -> SparseConvTensor:
+        idx = x.indices.cpu().numpy().astype(np.int64)  # [N, 4] (b, x, y, z)
+        sx, sy, sz = (int(s) for s in x.spatial_shape[:3])
+        key = ((idx[:, 0] * sx + idx[:, 1]) * sy + idx[:, 2]) * sz + idx[:, 3]
+        lut = {int(k): i for i, k in enumerate(key)}
+        k = self.kernel_size
+        r = k // 2
+        feat = x.features
+        out = feat.new_zeros(feat.shape[0], self.out_channels)
+        w = self.weight.view(k * k * k, self.in_channels, self.out_channels)
+        for ki, (dx, dy, dz) in enumerate(
+            itertools.product(range(-r, r + 1), repeat=3)
+        ):
+            nk = key + ((dx * sy + dy) * sz + dz)
+            rows, nbrs = [], []
+            for row, kk in enumerate(nk):
+                j = lut.get(int(kk))
+                # guard against linearized-key aliasing across grid edges
+                if j is not None and (
+                    0 <= idx[row, 1] + dx < sx
+                    and 0 <= idx[row, 2] + dy < sy
+                    and 0 <= idx[row, 3] + dz < sz
+                    and idx[j, 0] == idx[row, 0]
+                ):
+                    rows.append(row)
+                    nbrs.append(j)
+            if rows:
+                out[rows] += feat[nbrs] @ w[ki]
+        if self.bias is not None:
+            out = out + self.bias
+        return x.replace_feature(out)
+
+
+_INDICE_CACHE: dict = {}
+
+
+def _coord_lut(idx, spatial_shape):
+    sx, sy, sz = (int(s) for s in spatial_shape[:3])
+    key = ((idx[:, 0] * sx + idx[:, 1]) * sy + idx[:, 2]) * sz + idx[:, 3]
+    return {int(k): i for i, k in enumerate(key)}
+
+
+class SparseConv3d(nn.Module):
+    """Strided sparse conv (spconv semantics): output position j exists iff
+    some input i = j*stride + offset - padding with offset in the kernel
+    volume; out[j] += x[i] @ W[offset]. Registers its (in, out, pairs)
+    under ``indice_key`` for SparseInverseConv3d."""
+
+    def __init__(self, in_channels, out_channels, kernel_size=2, stride=2,
+                 padding=0, bias=True, indice_key=None, **kw):
+        super().__init__()
+        k = kernel_size if isinstance(kernel_size, int) else kernel_size[0]
+        self.k, self.stride, self.padding = k, stride, padding
+        self.in_channels, self.out_channels = in_channels, out_channels
+        self.indice_key = indice_key
+        self.weight = nn.Parameter(
+            torch.empty(k, k, k, in_channels, out_channels)
+        )
+        nn.init.kaiming_uniform_(self.weight.view(-1, out_channels), a=5**0.5)
+        self.bias = nn.Parameter(torch.zeros(out_channels)) if bias else None
+
+    def forward(self, x: SparseConvTensor) -> SparseConvTensor:
+        idx = x.indices.cpu().numpy().astype(np.int64)
+        k, s, p = self.k, self.stride, self.padding
+        out_pos = {}   # (b, x, y, z) -> out row
+        pairs = []     # (kernel_index, in_row, out_row)
+        for ki, off in enumerate(
+            itertools.product(range(k), repeat=3)
+        ):
+            num = idx[:, 1:] + p - np.asarray(off)
+            ok = (num % s == 0).all(1) & (num >= 0).all(1)
+            outc = num // s
+            for row in np.nonzero(ok)[0]:
+                key = (idx[row, 0], *outc[row])
+                j = out_pos.setdefault(key, len(out_pos))
+                pairs.append((ki, int(row), j))
+        w = self.weight.view(k ** 3, self.in_channels, self.out_channels)
+        out = x.features.new_zeros(len(out_pos), self.out_channels)
+        for ki, i, j in pairs:
+            out[j] += x.features[i] @ w[ki]
+        if self.bias is not None:
+            out = out + self.bias
+        new_idx = torch.tensor(
+            [list(kxyz) for kxyz in out_pos], dtype=torch.int32
+        )
+        new_shape = [max(1, (d + p) // s) for d in x.spatial_shape[:3]]
+        if self.indice_key is not None:
+            _INDICE_CACHE[self.indice_key] = (x.indices, pairs, len(idx))
+        return SparseConvTensor(out, new_idx, new_shape, x.batch_size)
+
+
+class SparseInverseConv3d(nn.Module):
+    """Reverses the conv registered under ``indice_key``: output indices =
+    that conv's input indices; per cached pair (ki, fine, coarse):
+    out[fine] += x[coarse] @ W[ki] (same kernel index, roles swapped)."""
+
+    def __init__(self, in_channels, out_channels, kernel_size=2, bias=True,
+                 indice_key=None, **kw):
+        super().__init__()
+        k = kernel_size if isinstance(kernel_size, int) else kernel_size[0]
+        self.k = k
+        self.in_channels, self.out_channels = in_channels, out_channels
+        self.indice_key = indice_key
+        self.weight = nn.Parameter(
+            torch.empty(k, k, k, in_channels, out_channels)
+        )
+        nn.init.kaiming_uniform_(self.weight.view(-1, out_channels), a=5**0.5)
+        self.bias = nn.Parameter(torch.zeros(out_channels)) if bias else None
+
+    def forward(self, x: SparseConvTensor) -> SparseConvTensor:
+        fine_indices, pairs, n_fine = _INDICE_CACHE[self.indice_key]
+        w = self.weight.view(self.k ** 3, self.in_channels, self.out_channels)
+        out = x.features.new_zeros(n_fine, self.out_channels)
+        for ki, fine, coarse in pairs:
+            out[fine] += x.features[coarse] @ w[ki]
+        if self.bias is not None:
+            out = out + self.bias
+        return SparseConvTensor(out, fine_indices, x.spatial_shape,
+                                x.batch_size)
+
+
+def _inert_class_factory(name):
+    cache = {}
+
+    def ga(attr):
+        if attr.startswith("__"):
+            raise AttributeError(attr)
+        if attr not in cache:
+            cache[attr] = type(
+                attr, (object,), {"__init__": lambda self, *a, **k: None}
+            )
+        return cache[attr]
+
+    return ga
+
+
+def _segment_csr(src, indptr, reduce="sum"):
+    indptr = indptr.reshape(-1).long()
+    n_seg = indptr.numel() - 1
+    out = []
+    for s in range(n_seg):
+        lo, hi = int(indptr[s]), int(indptr[s + 1])
+        seg = src[lo:hi]
+        if seg.numel() == 0:
+            out.append(src.new_zeros(src.shape[1:]))
+        elif reduce == "sum":
+            out.append(seg.sum(0))
+        elif reduce == "mean":
+            out.append(seg.float().mean(0).to(src.dtype))
+        elif reduce == "min":
+            out.append(seg.min(0).values)
+        elif reduce == "max":
+            out.append(seg.max(0).values)
+        else:
+            raise ValueError(reduce)
+    return torch.stack(out, 0)
+
+
+def install_executable_stubs():
+    spconv_pytorch = types.ModuleType("spconv.pytorch")
+    spconv_pytorch.__path__ = []
+    spconv_pytorch.SparseConvTensor = SparseConvTensor
+    spconv_pytorch.SubMConv3d = SubMConv3d
+    spconv_pytorch.SparseConv3d = SparseConv3d
+    spconv_pytorch.SparseInverseConv3d = SparseInverseConv3d
+    modules_mod = types.ModuleType("spconv.pytorch.modules")
+    modules_mod.is_spconv_module = lambda m: isinstance(
+        m, (SubMConv3d, SparseConv3d, SparseInverseConv3d)
+    )
+    modules_mod.SparseModule = nn.Module
+    spconv_pytorch.modules = modules_mod
+    # anything else (SparseSequential, SparseConv3d, ...) imports inertly
+    spconv_pytorch.__getattr__ = _inert_class_factory("spconv.pytorch")
+
+    spconv_pkg = types.ModuleType("spconv")
+    spconv_pkg.__path__ = []
+    spconv_pkg.pytorch = spconv_pytorch
+    spconv_pkg.__getattr__ = _inert_class_factory("spconv")
+
+    tscatter = types.ModuleType("torch_scatter")
+    tscatter.__path__ = []
+    tscatter.segment_csr = _segment_csr
+    tscatter.__getattr__ = _inert_class_factory("torch_scatter")
+
+    sys.modules["spconv"] = spconv_pkg
+    sys.modules["spconv.pytorch"] = spconv_pytorch
+    sys.modules["spconv.pytorch.modules"] = modules_mod
+    sys.modules["torch_scatter"] = tscatter
+
+    # cached reference model modules were bound to the inert stubs
+    for name in [n for n in sys.modules if n.startswith("pointcept.models")]:
+        del sys.modules[name]

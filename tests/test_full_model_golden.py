@@ -1,0 +1,214 @@
+"""Full-model forward golden: our flax PTv3 vs the reference's own torch
+PTv3 (point_transformer_v3m1_base.py) executed on CPU through EXECUTABLE
+spconv/torch_scatter stand-ins (tests/ref_exec_stubs.py) and the reference's
+non-flash dense attention path (l.208-222).
+
+Weights transfer through utils/ckpt_bridge.convert_ptv3_lang_checkpoint —
+the same mapping used for released checkpoints — so this test fails if ANY
+layer (stem conv, xCPE, serialized attention, pooling, unpooling, norms,
+MLP) diverges numerically from the reference (VERDICT round-1 item 5).
+
+Scene construction keeps both sides in their exactly-comparable regime:
+- one voxel per point (GridSample contract),
+- every stage's point count a multiple of its patch size (the reference
+  pads ragged tails by DUPLICATING points — a different protocol from our
+  masked padding; point counts are chosen so neither side pads),
+- stage_capacity sized exactly, shuffle_orders disabled on both sides
+  (the reference's SerializedPooling shuffles curve order by default even
+  at eval, l.362 — deterministic comparison requires turning it off).
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from tests.conftest import load_reference_package  # noqa: E402
+from tests.ref_exec_stubs import install_executable_stubs  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+
+def _make_scene(rng, n_parents=128, children_per_parent=2, levels=1):
+    """Unique voxels where every stride-2 cell at each of ``levels`` pooling
+    levels holds exactly ``children_per_parent`` members — pooled counts
+    halve exactly, so both sides stay pad-free."""
+    cells = np.stack(
+        np.meshgrid(*[np.arange(8)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)
+    grid = cells[rng.choice(len(cells), size=n_parents, replace=False)]
+    offs = np.stack(
+        np.meshgrid(*[np.arange(2)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)
+    for _ in range(levels):
+        nxt = []
+        for p in grid:
+            pick = rng.choice(8, size=children_per_parent, replace=False)
+            nxt.append(p * 2 + offs[pick])
+        grid = np.concatenate(nxt, 0)
+    grid = grid[rng.permutation(len(grid))].astype(np.int32)
+    n = len(grid)
+    coord = grid.astype(np.float32) * 0.02
+    feat = rng.normal(size=(n, 6)).astype(np.float32)
+    return coord, grid, feat
+
+
+MINI = dict(
+    in_channels=6,
+    order=("z", "z-trans"),
+    stride=(2,),
+    enc_depths=(2, 1),
+    enc_channels=(16, 32),
+    enc_num_head=(2, 4),
+    enc_patch_size=(16, 16),
+    dec_depths=(1,),
+    dec_channels=(16,),
+    dec_num_head=(2,),
+    dec_patch_size=(16,),
+    mlp_ratio=4,
+    qkv_bias=True,
+    drop_path=0.0,
+    shuffle_orders=False,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_ptv3():
+    install_executable_stubs()
+    mod = load_reference_package(
+        "pointcept.models.point_transformer_v3.point_transformer_v3m1_base"
+    )
+    if mod is None:
+        pytest.skip("reference repo unavailable")
+    return mod
+
+
+DEEP = dict(
+    in_channels=6,
+    order=("z", "z-trans"),
+    stride=(2, 2),
+    enc_depths=(2, 2, 2),
+    enc_channels=(16, 16, 32),
+    enc_num_head=(2, 2, 4),
+    enc_patch_size=(16, 16, 16),
+    dec_depths=(1, 2),
+    dec_channels=(16, 16),
+    dec_num_head=(2, 2),
+    dec_patch_size=(16, 16),
+    mlp_ratio=2,
+    qkv_bias=True,
+    drop_path=0.0,
+    shuffle_orders=False,
+)
+
+
+def _run_reference(mod, coord, grid, feat, cfg, enable_rpe=False):
+    model = mod.PointTransformerV3(
+        **cfg,
+        enable_rpe=enable_rpe,
+        enable_flash=False,
+        upcast_attention=True,
+        upcast_softmax=True,
+    )
+    # trunc_normal RPE tables init to ~0; give them real values so the
+    # bias term actually discriminates
+    if enable_rpe:
+        g = torch.Generator().manual_seed(0)
+        for name, p in model.named_parameters():
+            if "rpe_table" in name:
+                with torch.no_grad():
+                    p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+    model.eval()
+    # the reference shuffles serialized orders inside pooling even at eval
+    for m in model.modules():
+        if isinstance(m, mod.SerializedPooling):
+            m.shuffle_orders = False
+    data = dict(
+        coord=torch.from_numpy(coord),
+        grid_coord=torch.from_numpy(grid).int(),
+        feat=torch.from_numpy(feat),
+        offset=torch.tensor([len(coord)]),
+        grid_size=torch.tensor(0.02),
+    )
+    with torch.no_grad():
+        point = model(data)
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    return point.feat.numpy(), state
+
+
+def _run_ours(coord, grid, feat, torch_state, cfg, stage_capacity):
+    from scenesplat_tpu.models import PointBatch, build_model
+    from scenesplat_tpu.utils.ckpt_bridge import convert_ptv3_lang_checkpoint
+
+    n = len(coord)
+    model = build_model(dict(
+        type="PT-v3m1",
+        **cfg,
+        upcast_softmax=True,
+        use_pallas=False,
+        stage_capacity=stage_capacity,  # exact pooled counts: pad-free
+    ))
+    point = PointBatch(
+        coord=jnp.asarray(coord)[None],
+        feat=jnp.asarray(feat)[None],
+        grid_coord=jnp.asarray(grid)[None],
+        mask=jnp.ones((1, n), bool),
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
+        point, train=False,
+    )
+    params, batch_stats, report = convert_ptv3_lang_checkpoint(
+        torch_state,
+        variables["params"],
+        variables.get("batch_stats", {}),
+        backbone_prefix="",
+        flax_backbone_key="",
+    )
+    # every torch tensor must land somewhere (num_batches_tracked excepted)
+    leftovers = [
+        k for k in report["unused_torch_keys"]
+        if "num_batches_tracked" not in k
+    ]
+    assert leftovers == [], f"bridge missed torch keys: {leftovers}"
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats}, point, train=False
+    )
+    return np.asarray(out.feat[0], np.float32)
+
+
+def test_full_forward_matches_reference(ref_ptv3):
+    rng = np.random.default_rng(42)
+    coord, grid, feat = _make_scene(rng)
+    ref_feat, torch_state = _run_reference(ref_ptv3, coord, grid, feat, MINI)
+    ours = _run_ours(coord, grid, feat, torch_state, MINI, (0.5,))
+    assert ours.shape == ref_feat.shape
+    np.testing.assert_allclose(ours, ref_feat, rtol=1e-4, atol=1e-4)
+
+
+def test_rpe_forward_matches_reference(ref_ptv3):
+    """enable_rpe path: relative-position bias tables through the bridge
+    (reference RPE, l.27-47 + dense attention l.183-207)."""
+    rng = np.random.default_rng(3)
+    coord, grid, feat = _make_scene(rng)
+    cfg = dict(MINI)
+    ref_feat, torch_state = _run_reference(
+        ref_ptv3, coord, grid, feat, cfg, enable_rpe=True
+    )
+    assert any("rpe" in k for k in torch_state)
+    ours = _run_ours(coord, grid, feat, torch_state, dict(cfg, enable_rpe=True),
+                     (0.5,))
+    np.testing.assert_allclose(ours, ref_feat, rtol=1e-4, atol=1e-4)
+
+
+def test_deep_forward_matches_reference(ref_ptv3):
+    """3 stages, depth-2 blocks: exercises order round-robin (z-trans
+    windows), two pooling levels, and the multi-block decoder."""
+    rng = np.random.default_rng(7)
+    coord, grid, feat = _make_scene(rng, n_parents=64, levels=2)
+    assert len(coord) == 256
+    ref_feat, torch_state = _run_reference(ref_ptv3, coord, grid, feat, DEEP)
+    ours = _run_ours(coord, grid, feat, torch_state, DEEP, (0.5, 0.25))
+    assert ours.shape == ref_feat.shape
+    np.testing.assert_allclose(ours, ref_feat, rtol=1e-4, atol=1e-4)

@@ -126,3 +126,78 @@ def test_chunk_labeling_tool(tmp_path):
     gs_seg = np.load(gs_chunk / "segment_nyu.npy")
     assert gs_seg.shape[0] == gs_xyz.shape[0]
     assert set(np.unique(gs_seg)) <= {-1, 0, 1}
+
+
+def _write_test_ply(path, verts, faces):
+    """binary_little_endian PLY: x y z float32, r g b uchar, faces uchar+int32."""
+    import struct
+
+    n, f = len(verts), len(faces)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        f"element face {f}\n"
+        "property list uchar int vertex_indices\nend_header\n"
+    )
+    with open(path, "wb") as fh:
+        fh.write(header.encode())
+        for v in verts:
+            fh.write(struct.pack("<3f3B", *v[:3], *(int(c) for c in v[3:6])))
+        for tri in faces:
+            fh.write(struct.pack("<B3i", 3, *tri))
+
+
+def test_preprocess_scannet_raw(tmp_path):
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "pp_scannet",
+        Path(__file__).resolve().parents[1] / "scripts"
+        / "preprocess_scannet_raw.py",
+    )
+    pp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pp)
+
+    rng = np.random.default_rng(0)
+    scene = tmp_path / "scans" / "scene9999_00"
+    scene.mkdir(parents=True)
+    n = 30
+    verts = np.concatenate(
+        [rng.uniform(0, 2, (n, 3)).astype(np.float32),
+         rng.integers(0, 255, (n, 3)).astype(np.float32)], 1,
+    )
+    faces = np.stack([np.arange(n - 2), np.arange(1, n - 1),
+                      np.arange(2, n)], 1)
+    _write_test_ply(scene / "scene9999_00_vh_clean_2.ply", verts, faces)
+    # 3 segments; group 0 = wall (nyu40 1 -> idx 0), group 1 = chair
+    seg_indices = np.repeat([0, 1, 2], n // 3).tolist()
+    (scene / "scene9999_00_vh_clean_2.0.010000.segs.json").write_text(
+        _json.dumps({"segIndices": seg_indices}))
+    (scene / "scene9999_00.aggregation.json").write_text(_json.dumps({
+        "segGroups": [
+            {"id": 0, "label": "wall", "segments": [0]},
+            {"id": 1, "label": "chair", "segments": [1]},
+            {"id": 2, "label": "bananas", "segments": [2]},
+        ]}))
+
+    out = pp.process_scene(scene, tmp_path / "npy",
+                           train_scenes={"scene9999_00"}, val_scenes=set())
+    out = Path(out)
+    assert out.parts[-2] == "train"
+    coord = np.load(out / "coord.npy")
+    seg20 = np.load(out / "segment20.npy")
+    seg200 = np.load(out / "segment200.npy")
+    inst = np.load(out / "instance.npy")
+    normal = np.load(out / "normal.npy")
+    assert coord.shape == (n, 3) and normal.shape == (n, 3)
+    np.testing.assert_allclose(coord, verts[:, :3], rtol=1e-6)
+    k = n // 3
+    assert (seg20[:k] == 0).all()           # wall -> ScanNet-20 index 0
+    assert (seg20[k:2 * k] == 4).all()      # chair: nyu40 5 -> ids20[4]
+    assert (seg20[2 * k:3 * k] == -1).all()  # 'bananas' not in tsv
+    assert (seg200[:k] == 0).all()          # wall raw id 1 -> ids200[0]
+    assert (inst[:k] == 0).all() and (inst[k:2 * k] == 1).all()
+    np.testing.assert_allclose(np.linalg.norm(normal, axis=1), 1.0, atol=1e-5)

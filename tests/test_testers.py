@@ -157,4 +157,9 @@ def test_zero_shot_tester_top3(tmp_path):
     np.testing.assert_array_equal(sub[:, 0], prob.argmax(1))
     ref_metric = ZeroShotMetric([f"c{i}" for i in range(c)], (), -1)
     ref_metric.update(prob.argmax(1).astype(np.int32), segment)
-    assert np.isclose(res["mIoU"], ref_metric.results()["mIoU"])
+    assert np.isclose(
+        res["mIoU"], ref_metric.results(protocol="tester")["mIoU"]
+    )
+    # reference test.py:624: final metrics also land in eval_results.txt
+    txt = (tmp_path / "eval_results.txt").read_text()
+    assert f"{res['mIoU']:.4f}" in txt and "Per-class results:" in txt
