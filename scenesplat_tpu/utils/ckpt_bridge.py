@@ -190,6 +190,123 @@ def convert_ptv3_lang_checkpoint(
     return params, batch_stats, report
 
 
+def convert_spunet_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    backbone_prefix: str = "backbone.",
+):
+    """Fill flax SpUNet params/batch_stats from a reference SpUNet state
+    dict (spconv_unet_v1m1_base.py:88-280 key layout).
+
+    torch -> flax correspondence:
+      conv_input.0.weight              -> conv_input/kernel  [125, in, base]
+      conv_input.1.*                   -> norm_input/norm    (BN)
+      down.{s}.0.weight                -> down{s}/kernel     [8, in, out]
+      down.{s}.1.*                     -> down{s}_norm/norm
+      enc.{s}.block{i}.conv1/2.weight  -> enc{s}_block{i}/conv1|2/kernel
+      ...bn1/bn2.*                     -> .../bn1|bn2/norm
+      ...proj.0.weight / proj.1.*      -> .../proj (Dense) + proj_norm/norm
+      up.{s}.0.weight / up.{s}.1.*     -> up{s}/kernel + up{s}_norm/norm
+      dec.{s}.block{i}.*               -> dec{s}_block{i}/...
+      final.weight/bias ([1,1,1,C,K])  -> final/kernel|bias  (Dense)
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        full = backbone_prefix + key
+        if full in torch_state:
+            used.add(full)
+            return torch_state[full]
+        return None
+
+    def put_bn(tkey, fpath):
+        pairs = [
+            (".weight", params, fpath + ("norm", "scale")),
+            (".bias", params, fpath + ("norm", "bias")),
+            (".running_mean", batch_stats, fpath + ("norm", "mean")),
+            (".running_var", batch_stats, fpath + ("norm", "var")),
+        ]
+        for suffix, tree, path in pairs:
+            w = torch_get(tkey + suffix)
+            if w is not None:
+                _assign(tree, path, w, filled)
+        torch_get(tkey + ".num_batches_tracked")  # consume
+
+    def put_conv(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        tmpl = _lookup(params, fpath + ("kernel",))
+        if tmpl is None:
+            return
+        k3, cin, cout = tmpl.shape
+        _assign(params, fpath + ("kernel",), _conv_kernel(w, cin, cout),
+                filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    def put_pointwise(tkey, fpath):
+        """1x1 SubMConv == Dense: [1,1,1,in,out] (or [out,1,1,1,in]) ->
+        kernel [in, out]."""
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        if w.ndim == 5:
+            if w.shape[:3] == (1, 1, 1):
+                w = w.reshape(w.shape[3], w.shape[4])
+            else:  # [out, 1, 1, 1, in]
+                w = w.reshape(w.shape[0], w.shape[4]).T
+        _assign(params, fpath + ("kernel",), w, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    put_conv("conv_input.0", ("conv_input",))
+    put_bn("conv_input.1", ("norm_input",))
+    put_pointwise("final", ("final",))
+
+    for name in list(params.keys()):
+        m = re.fullmatch(r"down(\d+)", name)
+        if m:
+            s = m.group(1)
+            put_conv(f"down.{s}.0", (name,))
+            put_bn(f"down.{s}.1", (f"down{s}_norm",))
+            continue
+        m = re.fullmatch(r"up(\d+)", name)
+        if m:
+            s = m.group(1)
+            put_conv(f"up.{s}.0", (name,))
+            put_bn(f"up.{s}.1", (f"up{s}_norm",))
+            continue
+        m = re.fullmatch(r"(enc|dec)(\d+)_block(\d+)", name)
+        if m:
+            t = f"{m.group(1)}.{m.group(2)}.block{m.group(3)}"
+            put_conv(f"{t}.conv1", (name, "conv1"))
+            put_conv(f"{t}.conv2", (name, "conv2"))
+            put_bn(f"{t}.bn1", (name, "bn1"))
+            put_bn(f"{t}.bn2", (name, "bn2"))
+            put_pointwise(f"{t}.proj.0", (name, "proj"))
+            put_bn(f"{t}.proj.1", (name, "proj_norm"))
+            continue
+
+    report = {
+        "unused_torch_keys": sorted(k for k in torch_state if k not in used),
+        "filled_leaves": len(filled),
+    }
+    return params, batch_stats, report
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:

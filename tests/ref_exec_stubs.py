@@ -29,6 +29,10 @@ import torch
 import torch.nn as nn
 
 
+class SparseModule(nn.Module):
+    """Marker base (spconv.SparseModule): modules taking SparseConvTensor."""
+
+
 class SparseConvTensor:
     def __init__(self, features, indices, spatial_shape, batch_size):
         self.features = features
@@ -42,7 +46,7 @@ class SparseConvTensor:
         )
 
 
-class SubMConv3d(nn.Module):
+class SubMConv3d(SparseModule):
     def __init__(self, in_channels, out_channels, kernel_size=3, stride=1,
                  padding=0, dilation=1, bias=True, indice_key=None, **kw):
         super().__init__()
@@ -105,7 +109,7 @@ def _coord_lut(idx, spatial_shape):
     return {int(k): i for i, k in enumerate(key)}
 
 
-class SparseConv3d(nn.Module):
+class SparseConv3d(SparseModule):
     """Strided sparse conv (spconv semantics): output position j exists iff
     some input i = j*stride + offset - padding with offset in the kernel
     volume; out[j] += x[i] @ W[offset]. Registers its (in, out, pairs)
@@ -150,11 +154,13 @@ class SparseConv3d(nn.Module):
         )
         new_shape = [max(1, (d + p) // s) for d in x.spatial_shape[:3]]
         if self.indice_key is not None:
-            _INDICE_CACHE[self.indice_key] = (x.indices, pairs, len(idx))
+            _INDICE_CACHE[self.indice_key] = (
+                x.indices, pairs, len(idx), list(x.spatial_shape)
+            )
         return SparseConvTensor(out, new_idx, new_shape, x.batch_size)
 
 
-class SparseInverseConv3d(nn.Module):
+class SparseInverseConv3d(SparseModule):
     """Reverses the conv registered under ``indice_key``: output indices =
     that conv's input indices; per cached pair (ki, fine, coarse):
     out[fine] += x[coarse] @ W[ki] (same kernel index, roles swapped)."""
@@ -173,15 +179,56 @@ class SparseInverseConv3d(nn.Module):
         self.bias = nn.Parameter(torch.zeros(out_channels)) if bias else None
 
     def forward(self, x: SparseConvTensor) -> SparseConvTensor:
-        fine_indices, pairs, n_fine = _INDICE_CACHE[self.indice_key]
+        # restore the FINE level's indices AND spatial shape — keeping the
+        # coarse shape would alias the next SubM conv's position hashing
+        fine_indices, pairs, n_fine, fine_shape = _INDICE_CACHE[self.indice_key]
         w = self.weight.view(self.k ** 3, self.in_channels, self.out_channels)
         out = x.features.new_zeros(n_fine, self.out_channels)
         for ki, fine, coarse in pairs:
             out[fine] += x.features[coarse] @ w[ki]
         if self.bias is not None:
             out = out + self.bias
-        return SparseConvTensor(out, fine_indices, x.spatial_shape,
+        return SparseConvTensor(out, fine_indices, fine_shape,
                                 x.batch_size)
+
+
+_SPARSE_TYPES = (SubMConv3d, SparseConv3d, SparseInverseConv3d)
+
+
+class SparseSequential(SparseModule):
+    """spconv.SparseSequential: sparse modules act on the SparseConvTensor,
+    torch modules on its .features."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+        from collections import OrderedDict
+
+        if len(args) == 1 and isinstance(args[0], OrderedDict):
+            for k, m in args[0].items():
+                self.add_module(k, m)
+        else:
+            for i, m in enumerate(args):
+                self.add_module(str(i), m)
+        for k, m in kwargs.items():
+            self.add_module(k, m)
+
+    def forward(self, x):
+        for m in self._modules.values():
+            if isinstance(m, SparseModule):
+                x = m(x)
+            elif isinstance(x, SparseConvTensor):
+                x = x.replace_feature(m(x.features))
+            else:
+                x = m(x)
+        return x
+
+
+class SparseIdentity(SparseModule):
+    def __init__(self, *a, **k):
+        super().__init__()
+
+    def forward(self, x):
+        return x
 
 
 def _inert_class_factory(name):
@@ -228,11 +275,12 @@ def install_executable_stubs():
     spconv_pytorch.SubMConv3d = SubMConv3d
     spconv_pytorch.SparseConv3d = SparseConv3d
     spconv_pytorch.SparseInverseConv3d = SparseInverseConv3d
+    spconv_pytorch.SparseSequential = SparseSequential
+    spconv_pytorch.Identity = SparseIdentity
+    spconv_pytorch.SparseModule = SparseModule
     modules_mod = types.ModuleType("spconv.pytorch.modules")
-    modules_mod.is_spconv_module = lambda m: isinstance(
-        m, (SubMConv3d, SparseConv3d, SparseInverseConv3d)
-    )
-    modules_mod.SparseModule = nn.Module
+    modules_mod.is_spconv_module = lambda m: isinstance(m, SparseModule)
+    modules_mod.SparseModule = SparseModule
     spconv_pytorch.modules = modules_mod
     # anything else (SparseSequential, SparseConv3d, ...) imports inertly
     spconv_pytorch.__getattr__ = _inert_class_factory("spconv.pytorch")
