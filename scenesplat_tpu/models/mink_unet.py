@@ -44,19 +44,19 @@ class MinkBasicBlock(nn.Module):
         residual = feat
         x = SubMConv(self.inplanes, p, kernel_size=3, use_bias=False,
                      dtype=self.dtype, name="conv1")(feat, level.conv_plan)
-        x = nn.relu(MaskedBatchNorm(p, momentum=self.bn_momentum,
+        x = nn.relu(MaskedBatchNorm(p, eps=1e-5, momentum=self.bn_momentum,
                                     dtype=self.dtype, name="norm1")(
             x, level.mask, use_running_average=deterministic))
         x = SubMConv(p, p, kernel_size=3, use_bias=False,
                      dtype=self.dtype, name="conv2")(x, level.conv_plan)
-        x = MaskedBatchNorm(p, momentum=self.bn_momentum, dtype=self.dtype,
+        x = MaskedBatchNorm(p, eps=1e-5, momentum=self.bn_momentum, dtype=self.dtype,
                             name="norm2")(x, level.mask,
                                           use_running_average=deterministic)
         if self.inplanes != p:
             residual = nn.Dense(p, use_bias=False, dtype=self.dtype,
                                 name="downsample")(residual)
             residual = MaskedBatchNorm(
-                p, momentum=self.bn_momentum, dtype=self.dtype,
+                p, eps=1e-5, momentum=self.bn_momentum, dtype=self.dtype,
                 name="downsample_norm",
             )(residual, level.mask, use_running_average=deterministic)
         return nn.relu(x + residual)
@@ -76,7 +76,7 @@ class MinkBottleneck(nn.Module):
         residual = feat
 
         def bn(c, name):
-            return MaskedBatchNorm(c, momentum=self.bn_momentum,
+            return MaskedBatchNorm(c, eps=1e-5, momentum=self.bn_momentum,
                                    dtype=self.dtype, name=name)
 
         x = nn.Dense(p, use_bias=False, dtype=self.dtype, name="conv1")(feat)
@@ -117,7 +117,7 @@ class MinkUNetBase(nn.Module):
         n0 = point.num_points
 
         def bn(c, name):
-            return MaskedBatchNorm(c, momentum=self.bn_momentum,
+            return MaskedBatchNorm(c, eps=1e-5, momentum=self.bn_momentum,
                                    dtype=self.dtype, name=name)
 
         def make_level(grid_coord, mask, ser):

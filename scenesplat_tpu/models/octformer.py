@@ -41,6 +41,12 @@ from scenesplat_tpu.ops.subm_conv import (
 )
 from .builder import MODELS
 from .norm import LayerNorm, MaskedBatchNorm
+
+# the reference uses DEFAULT torch BatchNorm1d here (eps=1e-5,
+# momentum=0.1) — not PTv3's eps=1e-3/momentum=0.01 convention
+import functools as _functools
+
+_BN = _functools.partial(MaskedBatchNorm, eps=1e-5, momentum=0.1)
 from .ptv3 import SubMConv
 from .spunet import InverseConv, LevelState, StridedConv, _round_cap
 from .structure import PointBatch
@@ -151,7 +157,7 @@ class OctFormerBlock(nn.Module):
                                nn.initializers.truncated_normal(0.02),
                                (27, c), jnp.float32)
         x = subm_dwconv_apply(feat, level.conv_plan, dw_weight.astype(feat.dtype))
-        x = MaskedBatchNorm(c, dtype=self.dtype, name="cpe_norm")(
+        x = _BN(c, dtype=self.dtype, name="cpe_norm")(
             x, level.mask, use_running_average=deterministic)
         feat = feat + x
 
@@ -224,7 +230,7 @@ class OctFormer(nn.Module):
         def conv_bn_relu(x, cin, cout, lvl, name):
             x = SubMConv(cin, cout, kernel_size=3, use_bias=False,
                          dtype=self.dtype, name=f"{name}_conv")(x, lvl.conv_plan)
-            x = MaskedBatchNorm(cout, dtype=self.dtype, name=f"{name}_norm")(
+            x = _BN(cout, dtype=self.dtype, name=f"{name}_norm")(
                 x, lvl.mask, use_running_average=deterministic)
             return nn.relu(x)
 
@@ -235,7 +241,7 @@ class OctFormer(nn.Module):
             new_grid = take_along_points(lvl.grid_coord, plan.head_index) >> 1
             new_ser = pool_serialization(plan, lvl.ser, 1, packed=depth <= 10)
             new_lvl = make_level(new_grid, plan.out_mask, new_ser)
-            y = MaskedBatchNorm(cout, dtype=self.dtype, name=f"{name}_norm")(
+            y = _BN(cout, dtype=self.dtype, name=f"{name}_norm")(
                 y, new_lvl.mask, use_running_average=deterministic)
             if relu:
                 y = nn.relu(y)
@@ -309,7 +315,7 @@ class OctFormer(nn.Module):
             plan, child_level = stem_records[self.stem_down - 1 - i]
             out = InverseConv(fpn, fpn, dtype=self.dtype, name=f"up_conv{i}")(
                 out, plan, child_level.grid_coord, child_level.mask)
-            out = nn.relu(MaskedBatchNorm(fpn, dtype=self.dtype,
+            out = nn.relu(_BN(fpn, dtype=self.dtype,
                                           name=f"up_conv{i}_norm")(
                 out, child_level.mask, use_running_average=deterministic))
         # any remaining stem levels: nearest unpooling (reference OctreeInterp
@@ -320,7 +326,7 @@ class OctFormer(nn.Module):
 
         if self.num_classes > 0:
             x = nn.Dense(fpn, dtype=self.dtype, name="seg_fc1")(out)
-            x = nn.relu(MaskedBatchNorm(fpn, dtype=self.dtype, name="seg_norm")(
+            x = nn.relu(_BN(fpn, dtype=self.dtype, name="seg_norm")(
                 x, point.mask, use_running_average=deterministic))
             out = nn.Dense(self.num_classes, dtype=self.dtype, name="seg_fc2")(x)
         return point.replace(feat=out)

@@ -64,7 +64,10 @@ class PointBN(nn.Module):
             mask = jnp.broadcast_to(mask[..., None] if mask.ndim == 2 else mask,
                                     shape[:3]).reshape(shape[0], -1)
         if self.conditions is None:
-            y = MaskedBatchNorm(self.features, dtype=self.dtype, name="norm")(
+            # reference PointBatchNorm wraps a DEFAULT BatchNorm1d
+            # (eps=1e-5, momentum=0.1) — unlike PTv3's eps=1e-3 convention
+            y = MaskedBatchNorm(self.features, eps=1e-5, momentum=0.1,
+                                dtype=self.dtype, name="norm")(
                 x, mask, use_running_average=deterministic
             )
         else:

@@ -34,6 +34,12 @@ from scenesplat_tpu.ops.serialization import serialize, take_along_points
 from scenesplat_tpu.ops.subm_conv import build_subm_conv_plan
 from .builder import MODELS
 from .norm import MaskedBatchNorm
+
+# the reference uses DEFAULT torch BatchNorm1d here (eps=1e-5,
+# momentum=0.1) — not PTv3's eps=1e-3/momentum=0.01 convention
+import functools as _functools
+
+_BN = _functools.partial(MaskedBatchNorm, eps=1e-5, momentum=0.1)
 from .ptv3 import SubMConv
 from .spunet import InverseConv, LevelState, StridedConv, _round_cap
 from .structure import PointBatch
@@ -100,7 +106,7 @@ class ConvBNReLU(nn.Module):
         x = SubMConv(self.in_channels, self.out_channels, kernel_size=3,
                      use_bias=False, dtype=self.dtype, name="conv")(
             feat, level.conv_plan)
-        x = MaskedBatchNorm(self.out_channels, dtype=self.dtype, name="norm")(
+        x = _BN(self.out_channels, dtype=self.dtype, name="norm")(
             x, level.mask, use_running_average=deterministic)
         return nn.relu(x)
 
@@ -117,17 +123,17 @@ class SPVResidualBlock(nn.Module):
         c = self.out_channels
         x = SubMConv(self.in_channels, c, kernel_size=3, use_bias=False,
                      dtype=self.dtype, name="conv1")(feat, level.conv_plan)
-        x = nn.relu(MaskedBatchNorm(c, dtype=self.dtype, name="norm1")(
+        x = nn.relu(_BN(c, dtype=self.dtype, name="norm1")(
             x, level.mask, use_running_average=deterministic))
         x = SubMConv(c, c, kernel_size=3, use_bias=False, dtype=self.dtype,
                      name="conv2")(x, level.conv_plan)
-        x = MaskedBatchNorm(c, dtype=self.dtype, name="norm2")(
+        x = _BN(c, dtype=self.dtype, name="norm2")(
             x, level.mask, use_running_average=deterministic)
         res = feat
         if self.in_channels != c:
             res = nn.Dense(c, use_bias=False, dtype=self.dtype,
                            name="downsample")(res)
-            res = MaskedBatchNorm(c, dtype=self.dtype, name="downsample_norm")(
+            res = _BN(c, dtype=self.dtype, name="downsample_norm")(
                 res, level.mask, use_running_average=deterministic)
         return nn.relu(x + res)
 
@@ -164,7 +170,7 @@ class SPVCNN(nn.Module):
 
         def bnrelu_pt(x, c, name):
             x = nn.Dense(c, dtype=self.dtype, name=f"{name}_fc")(x)
-            x = MaskedBatchNorm(c, dtype=self.dtype, name=f"{name}_norm")(
+            x = _BN(c, dtype=self.dtype, name=f"{name}_norm")(
                 x, pt_mask, use_running_average=deterministic)
             return nn.relu(x)
 
@@ -200,7 +206,7 @@ class SPVCNN(nn.Module):
             new_ser = pool_serialization(plan, level.ser, pooling_depth=1,
                                          packed=depth <= 10)
             level = make_level(new_grid, plan.out_mask, new_ser)
-            feat = nn.relu(MaskedBatchNorm(enc_in, dtype=self.dtype,
+            feat = nn.relu(_BN(enc_in, dtype=self.dtype,
                                            name=f"stage{s + 1}_down_norm")(
                 y, level.mask, use_running_average=deterministic))
             for i in range(self.layers[s]):
@@ -224,7 +230,7 @@ class SPVCNN(nn.Module):
             plan = down_plans[to_lv]
             yy = InverseConv(in_c, out_c, dtype=self.dtype, name=f"{name}_deconv")(
                 vox_feat, plan, levels[to_lv].grid_coord, levels[to_lv].mask)
-            yy = nn.relu(MaskedBatchNorm(out_c, dtype=self.dtype,
+            yy = nn.relu(_BN(out_c, dtype=self.dtype,
                                          name=f"{name}_deconv_norm")(
                 yy, levels[to_lv].mask, use_running_average=deterministic))
             yy = jnp.concatenate([yy, skip_feat], axis=-1)

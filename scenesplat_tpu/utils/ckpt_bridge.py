@@ -307,6 +307,245 @@ def convert_spunet_checkpoint(
     return params, batch_stats, report
 
 
+def convert_ptv2_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    backbone_prefix: str = "backbone.",
+):
+    """Fill flax PTv2 params/batch_stats from a reference PT-v2m1/m2 state
+    dict (point_transformer_v2m2_base.py:446-579 key layout).
+
+    torch -> flax:
+      patch_embed.proj.0 / .1.norm     -> patch_embed_proj / patch_embed_norm
+      patch_embed.blocks.blocks.{i}    -> patch_embed_blocks/block{i}
+      enc_stages.{s}.down.fc|norm      -> enc{s}_down/fc|norm
+      enc_stages.{s}.blocks.blocks.{i} -> enc{s}_blocks/block{i}
+      dec_stages.{s}.up.proj*/...      -> dec{s}_up/proj*, proj*_norm
+      dec_stages.{s}.blocks.blocks.{i} -> dec{s}_blocks/block{i}
+      seg_head.{0,1.norm,3}            -> seg_head_fc1|norm|fc2
+    Block internals: attn.linear_q.0 -> attn/linear_q (+ .1.norm -> bn_q),
+    linear_p_bias/multiplier Sequentials -> pe_*_fc1/bn/fc2,
+    weight_encoding -> weight_fc1/bn/fc2, fc1/fc3/norm{1,2,3}.
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        full = backbone_prefix + key
+        if full in torch_state:
+            used.add(full)
+            return torch_state[full]
+        return None
+
+    def put_dense(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        _assign(params, fpath + ("kernel",), w.T, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    def put_bn(tkey, fpath):
+        for suffix, tree, leaf in (
+            (".weight", params, "scale"), (".bias", params, "bias"),
+            (".running_mean", batch_stats, "mean"),
+            (".running_var", batch_stats, "var"),
+        ):
+            w = torch_get(tkey + suffix)
+            if w is not None:
+                _assign(tree, fpath + ("norm", leaf), w, filled)
+        torch_get(tkey + ".num_batches_tracked")
+
+    def put_block(t, f):
+        put_dense(f"{t}.fc1", f + ("fc1",))
+        put_dense(f"{t}.fc3", f + ("fc3",))
+        for j in (1, 2, 3):
+            put_bn(f"{t}.norm{j}.norm", f + (f"norm{j}",))
+        a, fa = f"{t}.attn", f + ("attn",)
+        put_dense(f"{a}.linear_q.0", fa + ("linear_q",))
+        put_bn(f"{a}.linear_q.1.norm", fa + ("bn_q",))
+        put_dense(f"{a}.linear_k.0", fa + ("linear_k",))
+        put_bn(f"{a}.linear_k.1.norm", fa + ("bn_k",))
+        put_dense(f"{a}.linear_v", fa + ("linear_v",))
+        put_dense(f"{a}.linear_p_bias.0", fa + ("pe_bias_fc1",))
+        put_bn(f"{a}.linear_p_bias.1.norm", fa + ("pe_bias_bn",))
+        put_dense(f"{a}.linear_p_bias.3", fa + ("pe_bias_fc2",))
+        put_dense(f"{a}.linear_p_multiplier.0", fa + ("pe_mul_fc1",))
+        put_bn(f"{a}.linear_p_multiplier.1.norm", fa + ("pe_mul_bn",))
+        put_dense(f"{a}.linear_p_multiplier.3", fa + ("pe_mul_fc2",))
+        put_dense(f"{a}.weight_encoding.0", fa + ("weight_fc1",))
+        put_bn(f"{a}.weight_encoding.1.norm", fa + ("weight_bn",))
+        put_dense(f"{a}.weight_encoding.3", fa + ("weight_fc2",))
+        # PT-v2m1 GroupedLinear weight [1, C]
+        gl = torch_get(f"{a}.weight_encoding.0.weight")
+        if gl is not None and gl.ndim == 2 and gl.shape[0] == 1:
+            _assign(params, fa + ("grouped_weight",), gl, filled)
+
+    put_dense("patch_embed.proj.0", ("patch_embed_proj",))
+    put_bn("patch_embed.proj.1.norm", ("patch_embed_norm",))
+    put_dense("seg_head.0", ("seg_head_fc1",))
+    put_bn("seg_head.1.norm", ("seg_head_norm",))
+    put_dense("seg_head.3", ("seg_head_fc2",))
+
+    for name in list(params.keys()):
+        m = re.fullmatch(r"patch_embed_blocks", name)
+        if m:
+            for bname in params[name]:
+                i = bname.replace("block", "")
+                put_block(f"patch_embed.blocks.blocks.{i}", (name, bname))
+            continue
+        m = re.fullmatch(r"enc(\d+)_down", name)
+        if m:
+            s = m.group(1)
+            put_dense(f"enc_stages.{s}.down.fc", (name, "fc"))
+            put_bn(f"enc_stages.{s}.down.norm.norm", (name, "norm"))
+            continue
+        m = re.fullmatch(r"(enc|dec)(\d+)_blocks", name)
+        if m:
+            side, s = m.group(1), m.group(2)
+            for bname in params[name]:
+                i = bname.replace("block", "")
+                put_block(f"{side}_stages.{s}.blocks.blocks.{i}",
+                          (name, bname))
+            continue
+        m = re.fullmatch(r"dec(\d+)_up", name)
+        if m:
+            s = m.group(1)
+            put_dense(f"dec_stages.{s}.up.proj.0", (name, "proj"))
+            put_bn(f"dec_stages.{s}.up.proj.1.norm", (name, "proj_norm"))
+            put_dense(f"dec_stages.{s}.up.proj_skip.0", (name, "proj_skip"))
+            put_bn(f"dec_stages.{s}.up.proj_skip.1.norm",
+                   (name, "proj_skip_norm"))
+            continue
+
+    report = {
+        "unused_torch_keys": sorted(k for k in torch_state if k not in used),
+        "filled_leaves": len(filled),
+    }
+    return params, batch_stats, report
+
+
+def convert_ptv1_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    backbone_prefix: str = "backbone.",
+):
+    """Fill flax PTv1 (PointTransformerSeg) params from a reference state
+    dict (point_transformer_seg.py:195-303 key layout).
+
+    enc{s}.0 (TransitionDown) -> enc{s}_down/linear|bn
+    enc{s}.{i} (Bottleneck)   -> enc{s}_block{i-1}/...
+    dec{s}.0 (TransitionUp)   -> dec{s}_up/linear1|bn1|linear2|bn2
+    dec{s}.1 (Bottleneck)     -> dec{s}_block0/...
+    cls.{0,1,3}               -> cls_fc1 | cls_bn | cls_fc2
+    Bottleneck.transformer2   -> .../transformer (linear_q/k/v,
+      linear_p.{0,1,3} -> linear_p_fc1/bn/fc2,
+      linear_w.{0,2,3,5} -> linear_w_bn1/fc1/bn2/fc2)
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        full = backbone_prefix + key
+        if full in torch_state:
+            used.add(full)
+            return torch_state[full]
+        return None
+
+    def put_dense(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        _assign(params, fpath + ("kernel",), w.T, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    def put_bn(tkey, fpath):
+        for suffix, tree, leaf in (
+            (".weight", params, "scale"), (".bias", params, "bias"),
+            (".running_mean", batch_stats, "mean"),
+            (".running_var", batch_stats, "var"),
+        ):
+            w = torch_get(tkey + suffix)
+            if w is not None:
+                _assign(tree, fpath + ("norm", leaf), w, filled)
+        torch_get(tkey + ".num_batches_tracked")
+
+    def put_bottleneck(t, f):
+        put_dense(f"{t}.linear1", f + ("linear1",))
+        put_bn(f"{t}.bn1", f + ("bn1",))
+        put_dense(f"{t}.linear3", f + ("linear3",))
+        put_bn(f"{t}.bn2", f + ("bn2",))
+        put_bn(f"{t}.bn3", f + ("bn3",))
+        # Bottleneck names it `transformer` (seg.py:178); other block
+        # variants use `transformer2`
+        a = (f"{t}.transformer"
+             if backbone_prefix + f"{t}.transformer.linear_q.weight"
+             in torch_state else f"{t}.transformer2")
+        fa = f + ("transformer",)
+        for nm in ("linear_q", "linear_k", "linear_v"):
+            put_dense(f"{a}.{nm}", fa + (nm,))
+        put_dense(f"{a}.linear_p.0", fa + ("linear_p_fc1",))
+        put_bn(f"{a}.linear_p.1", fa + ("linear_p_bn",))
+        put_dense(f"{a}.linear_p.3", fa + ("linear_p_fc2",))
+        put_bn(f"{a}.linear_w.0", fa + ("linear_w_bn1",))
+        put_dense(f"{a}.linear_w.2", fa + ("linear_w_fc1",))
+        put_bn(f"{a}.linear_w.3", fa + ("linear_w_bn2",))
+        put_dense(f"{a}.linear_w.5", fa + ("linear_w_fc2",))
+
+    put_dense("cls.0", ("cls_fc1",))
+    put_bn("cls.1", ("cls_bn",))
+    put_dense("cls.3", ("cls_fc2",))
+
+    for name in list(params.keys()):
+        m = re.fullmatch(r"enc(\d+)_down", name)
+        if m:
+            s = m.group(1)
+            put_dense(f"enc{s}.0.linear", (name, "linear"))
+            put_bn(f"enc{s}.0.bn", (name, "bn"))
+            continue
+        m = re.fullmatch(r"(enc|dec)(\d+)_block(\d+)", name)
+        if m:
+            side, s, i = m.group(1), m.group(2), int(m.group(3))
+            off = 1  # module 0 is the transition
+            put_bottleneck(f"{side}{s}.{i + off}", (name,))
+            continue
+        m = re.fullmatch(r"dec(\d+)_up", name)
+        if m:
+            s = m.group(1)
+            put_dense(f"dec{s}.0.linear1.0", (name, "linear1"))
+            put_bn(f"dec{s}.0.linear1.1", (name, "bn1"))
+            put_dense(f"dec{s}.0.linear2.0", (name, "linear2"))
+            put_bn(f"dec{s}.0.linear2.1", (name, "bn2"))
+            continue
+
+    report = {
+        "unused_torch_keys": sorted(k for k in torch_state if k not in used),
+        "filled_leaves": len(filled),
+    }
+    return params, batch_stats, report
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:

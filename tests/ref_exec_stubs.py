@@ -268,6 +268,116 @@ def _segment_csr(src, indptr, reduce="sum"):
     return torch.stack(out, 0)
 
 
+def _knn_query(nsample, xyz, offset, new_xyz=None, new_offset=None):
+    """pointops.knn_query semantics (libs/pointops/functions/query.py:7-24):
+    per-segment exact kNN (self included), global row indices, -1 padding
+    when a segment has fewer than nsample points, euclidean distances."""
+    from scipy.spatial import cKDTree
+
+    if new_xyz is None or new_offset is None:
+        new_xyz, new_offset = xyz, offset
+    xyz_n = xyz.detach().cpu().numpy()
+    q_n = new_xyz.detach().cpu().numpy()
+    off = np.asarray(offset.detach().cpu(), np.int64)
+    noff = np.asarray(new_offset.detach().cpu(), np.int64)
+    m = len(q_n)
+    idx = np.full((m, nsample), -1, np.int32)
+    dist = np.zeros((m, nsample), np.float32)
+    s = ns = 0
+    for b in range(len(off)):
+        e, ne = int(off[b]), int(noff[b])
+        kk = min(nsample, e - s)
+        d, i = cKDTree(xyz_n[s:e]).query(q_n[ns:ne], k=kk)
+        d = np.atleast_2d(d).reshape(ne - ns, kk)
+        i = np.atleast_2d(i).reshape(ne - ns, kk)
+        idx[ns:ne, :kk] = i + s
+        dist[ns:ne, :kk] = d
+        s, ns = e, ne
+    return torch.from_numpy(idx), torch.from_numpy(dist)
+
+
+def _grouping(idx, feat, xyz, new_xyz=None, with_xyz=False):
+    """pointops.grouping semantics (grouping.py:36-60): gather rows by idx
+    (-1 -> zeros), optionally prepend (xyz[j] - new_xyz[i]) zeroed at
+    invalid slots."""
+    if new_xyz is None:
+        new_xyz = xyz
+    m, nsample = idx.shape
+    c = feat.shape[1]
+    idxl = idx.long()
+    safe = idxl.clamp(min=0)
+    valid = (idxl >= 0).to(feat.dtype)
+    grouped = feat[safe.view(-1)].view(m, nsample, c) * valid[..., None]
+    if with_xyz:
+        gxyz = xyz[safe.view(-1)].view(m, nsample, 3) - new_xyz.unsqueeze(1)
+        gxyz = gxyz * valid[..., None]
+        return torch.cat([gxyz, grouped], -1)
+    return grouped
+
+
+def _interpolation(xyz, new_xyz, feat, offset, new_offset, k=3):
+    """pointops.interpolation (interpolation.py:8-24): IDW over k-NN."""
+    idx, dist = _knn_query(k, xyz, offset, new_xyz, new_offset)
+    recip = 1.0 / (dist + 1e-8)
+    weight = recip / recip.sum(1, keepdim=True)
+    out = feat.new_zeros(new_xyz.shape[0], feat.shape[1])
+    for i in range(k):
+        out += feat[idx[:, i].long()] * weight[:, i:i + 1]
+    return out
+
+
+def _farthest_point_sampling(xyz, offset, new_offset):
+    """pointops.farthest_point_sampling (sampling_cuda_kernel.cu semantics):
+    per segment, start at the first point, greedily take the point
+    maximizing min-distance to the selected set; global row indices."""
+    xyz_n = xyz.detach().cpu().numpy().astype(np.float64)
+    off = np.asarray(offset.detach().cpu(), np.int64)
+    noff = np.asarray(new_offset.detach().cpu(), np.int64)
+    out = []
+    s = ns = 0
+    for b in range(len(off)):
+        e, ne = int(off[b]), int(noff[b])
+        pts = xyz_n[s:e]
+        m = ne - ns
+        picked = [0]
+        dist = np.full(len(pts), np.inf)
+        for _ in range(m - 1):
+            d = np.sum((pts - pts[picked[-1]]) ** 2, axis=1)
+            dist = np.minimum(dist, d)
+            picked.append(int(np.argmax(dist)))
+        out.extend(p + s for p in picked)
+        s, ns = e, ne
+    return torch.tensor(out, dtype=torch.int32)
+
+
+def _knn_query_and_group(feat, xyz, offset=None, new_xyz=None,
+                         new_offset=None, idx=None, nsample=None,
+                         with_xyz=False):
+    """pointops.knn_query_and_group (functions/utils.py:5-19)."""
+    if idx is None:
+        idx, _ = _knn_query(nsample, xyz, offset, new_xyz, new_offset)
+    return _grouping(idx, feat, xyz, new_xyz, with_xyz), idx
+
+
+def _voxel_grid(pos, size, batch=None, start=None, end=None):
+    """torch_geometric voxel_grid as PTv2 GridPool uses it
+    (point_transformer_v2m2_base.py:256): injective int64 cluster ids,
+    monotone in batch — only the equivalence classes and the per-batch
+    grouping of sorted ids are semantically load-bearing."""
+    p = pos.detach().cpu().numpy().astype(np.float64)
+    if start is not None and not np.isscalar(start):
+        p = p - np.asarray(start)
+    elif start:
+        p = p - start
+    c = np.floor(p / float(size)).astype(np.int64)
+    c -= c.min(0)
+    dims = c.max(0) + 1
+    b = (np.zeros(len(c), np.int64) if batch is None
+         else batch.detach().cpu().numpy().astype(np.int64))
+    cid = ((b * dims[0] + c[:, 0]) * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+    return torch.from_numpy(cid)
+
+
 def install_executable_stubs():
     spconv_pytorch = types.ModuleType("spconv.pytorch")
     spconv_pytorch.__path__ = []
@@ -295,10 +405,52 @@ def install_executable_stubs():
     tscatter.segment_csr = _segment_csr
     tscatter.__getattr__ = _inert_class_factory("torch_scatter")
 
+    pointops_mod = types.ModuleType("pointops")
+    pointops_mod.__path__ = []
+    pointops_mod.knn_query = _knn_query
+    pointops_mod.grouping = _grouping
+    pointops_mod.interpolation = _interpolation
+    pointops_mod.farthest_point_sampling = _farthest_point_sampling
+    pointops_mod.knn_query_and_group = _knn_query_and_group
+    pointops_mod.__getattr__ = _inert_class_factory("pointops")
+
+    tg = types.ModuleType("torch_geometric")
+    tg.__path__ = []
+    tg_nn = types.ModuleType("torch_geometric.nn")
+    tg_nn.__path__ = []
+    tg_pool = types.ModuleType("torch_geometric.nn.pool")
+    tg_pool.__path__ = []
+    tg_pool.voxel_grid = _voxel_grid
+    tg_pool.__getattr__ = _inert_class_factory("torch_geometric.nn.pool")
+    tg_nn.pool = tg_pool
+    tg_nn.voxel_grid = _voxel_grid
+    tg_nn.__getattr__ = _inert_class_factory("torch_geometric.nn")
+    tg.nn = tg_nn
+    tg.__getattr__ = _inert_class_factory("torch_geometric")
+
     sys.modules["spconv"] = spconv_pkg
     sys.modules["spconv.pytorch"] = spconv_pytorch
     sys.modules["spconv.pytorch.modules"] = modules_mod
     sys.modules["torch_scatter"] = tscatter
+    sys.modules["pointops"] = pointops_mod
+    sys.modules["torch_geometric"] = tg
+    sys.modules["torch_geometric.nn"] = tg_nn
+    sys.modules["torch_geometric.nn.pool"] = tg_pool
+
+    # reference code constructs torch.cuda.*Tensor directly (e.g.
+    # point_transformer_seg.py:100); shim CPU equivalents on CPU-only torch
+    if not torch.cuda.is_available():
+        def _cpu_tensor(dtype):
+            def make(*args):
+                if len(args) == 1 and isinstance(args[0], (list, tuple)):
+                    return torch.tensor(args[0], dtype=dtype)
+                return torch.zeros(*args, dtype=dtype)
+
+            return make
+
+        torch.cuda.IntTensor = _cpu_tensor(torch.int32)
+        torch.cuda.LongTensor = _cpu_tensor(torch.int64)
+        torch.cuda.FloatTensor = _cpu_tensor(torch.float32)
 
     # cached reference model modules were bound to the inert stubs
     for name in [n for n in sys.modules if n.startswith("pointcept.models")]:
