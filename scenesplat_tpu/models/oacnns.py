@@ -39,10 +39,13 @@ from .structure import PointBatch
 class _LinBNReLU(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
+    use_bias: bool = False  # BasicBlock projections: bias=False (l.32-54);
+    # UpBlock fuse Linears keep torch's default bias=True (l.196-203)
 
     @nn.compact
     def __call__(self, x, mask, deterministic):
-        x = nn.Dense(self.features, use_bias=False, dtype=self.dtype, name="fc")(x)
+        x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                     name="fc")(x)
         x = MaskedBatchNorm(self.features, dtype=self.dtype, name="norm")(
             x, mask, use_running_average=deterministic)
         return nn.relu(x)
@@ -197,7 +200,7 @@ class OACNNs(nn.Module):
                 x, skip_level.mask, use_running_average=deterministic))
             level = skip_level
             fused = jnp.concatenate([x, skip_feat], axis=-1)
-            fused = _LinBNReLU(self.dec_channels[s], self.dtype,
+            fused = _LinBNReLU(self.dec_channels[s], self.dtype, use_bias=True,
                                name=f"dec{s}_fuse1")(
                 fused, level.mask, deterministic)
             fused = nn.Dense(self.dec_channels[s], dtype=self.dtype,

@@ -546,6 +546,153 @@ def convert_ptv1_checkpoint(
     return params, batch_stats, report
 
 
+def convert_oacnns_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    backbone_prefix: str = "backbone.",
+):
+    """Fill flax OACNNs params from a reference OACNNs state dict
+    (oacnns_v1m1_base.py:214-345 key layout).
+
+    stem.{0,3,6} / .{1,4,7}           -> stem{i} / stem{i}_norm
+    enc.{i}.down.{0,1}                -> enc{i}_down / enc{i}_down_norm
+    enc.{i}.blocks.{d}.*              -> enc{i}_block{d}/...
+      l_w.{j}.{0,1} -> l_w{j}/fc|norm; weight.{j} -> weight{j};
+      proj.{j}.{0,1} -> proj{j} (last -> proj_last); adaptive; fuse.{0,1};
+      voxel_block.{0,1,3,4} -> vconv1|vnorm1|vconv2|vnorm2
+    dec.{i}.up.{0,1}                  -> dec{i}_up / dec{i}_up_norm
+    dec.{i}.fuse.{0,1,3,4}            -> dec{i}_fuse1/fc|norm,
+                                         dec{i}_fuse2_fc|_fuse2_norm
+    final ([1,1,1,C,K] SubM k=1)      -> final (Dense)
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        full = backbone_prefix + key
+        if full in torch_state:
+            used.add(full)
+            return torch_state[full]
+        return None
+
+    def put_dense(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        _assign(params, fpath + ("kernel",), w.T, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    def put_bn(tkey, fpath):
+        """fpath = path of the BN leaves themselves (bare MaskedBatchNorm
+        modules keep scale/bias at their own name; _LinBNReLU nests them
+        under <module>/norm — callers append "norm" in that case)."""
+        for suffix, tree, leaf in (
+            (".weight", params, "scale"), (".bias", params, "bias"),
+            (".running_mean", batch_stats, "mean"),
+            (".running_var", batch_stats, "var"),
+        ):
+            w = torch_get(tkey + suffix)
+            if w is not None:
+                _assign(tree, fpath + (leaf,), w, filled)
+        torch_get(tkey + ".num_batches_tracked")
+
+    def put_conv(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        tmpl = _lookup(params, fpath + ("kernel",))
+        if tmpl is None:
+            return
+        k3, cin, cout = tmpl.shape
+        _assign(params, fpath + ("kernel",), _conv_kernel(w, cin, cout),
+                filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    def put_pointwise(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        if w.ndim == 5:
+            if w.shape[:3] == (1, 1, 1):
+                w = w.reshape(w.shape[3], w.shape[4])
+            else:
+                w = w.reshape(w.shape[0], w.shape[4]).T
+        _assign(params, fpath + ("kernel",), w, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    for i in range(3):
+        put_conv(f"stem.{3 * i}", (f"stem{i}",))
+        put_bn(f"stem.{3 * i + 1}", (f"stem{i}_norm",))
+    put_pointwise("final", ("final",))
+
+    def put_block(t, f):
+        scales = sorted(
+            int(k.replace("l_w", ""))
+            for k in _lookup(params, f) if re.fullmatch(r"l_w\d+", k)
+        )
+        for j in scales:
+            put_dense(f"{t}.l_w.{j}.0", f + (f"l_w{j}", "fc"))
+            put_bn(f"{t}.l_w.{j}.1", f + (f"l_w{j}", "norm"))
+            put_dense(f"{t}.weight.{j}", f + (f"weight{j}",))
+            put_dense(f"{t}.proj.{j}.0", f + (f"proj{j}", "fc"))
+            put_bn(f"{t}.proj.{j}.1", f + (f"proj{j}", "norm"))
+        last = len(scales)
+        put_dense(f"{t}.proj.{last}.0", f + ("proj_last", "fc"))
+        put_bn(f"{t}.proj.{last}.1", f + ("proj_last", "norm"))
+        put_dense(f"{t}.adaptive", f + ("adaptive",))
+        put_dense(f"{t}.fuse.0", f + ("fuse", "fc"))
+        put_bn(f"{t}.fuse.1", f + ("fuse", "norm"))
+        put_conv(f"{t}.voxel_block.0", f + ("vconv1",))
+        put_bn(f"{t}.voxel_block.1", f + ("vnorm1",))
+        put_conv(f"{t}.voxel_block.3", f + ("vconv2",))
+        put_bn(f"{t}.voxel_block.4", f + ("vnorm2",))
+
+    for name in list(params.keys()):
+        m = re.fullmatch(r"enc(\d+)_down", name)
+        if m:
+            s = m.group(1)
+            put_conv(f"enc.{s}.down.0", (name,))
+            put_bn(f"enc.{s}.down.1", (f"enc{s}_down_norm",))
+            continue
+        m = re.fullmatch(r"enc(\d+)_block(\d+)", name)
+        if m:
+            put_block(f"enc.{m.group(1)}.blocks.{m.group(2)}", (name,))
+            continue
+        m = re.fullmatch(r"dec(\d+)_up", name)
+        if m:
+            s = m.group(1)
+            put_conv(f"dec.{s}.up.0", (name,))
+            put_bn(f"dec.{s}.up.1", (f"dec{s}_up_norm",))
+            put_dense(f"dec.{s}.fuse.0", (f"dec{s}_fuse1", "fc"))
+            put_bn(f"dec.{s}.fuse.1", (f"dec{s}_fuse1", "norm"))
+            put_dense(f"dec.{s}.fuse.3", (f"dec{s}_fuse2_fc",))
+            put_bn(f"dec.{s}.fuse.4", (f"dec{s}_fuse2_norm",))
+            continue
+
+    # BN inside our _LinBNReLU lives at <name>/norm; put_bn wrote to
+    # <name>/norm/* via ("norm", leaf) appended to the given path
+    report = {
+        "unused_torch_keys": sorted(k for k in torch_state if k not in used),
+        "filled_leaves": len(filled),
+    }
+    return params, batch_stats, report
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:

@@ -378,6 +378,28 @@ def _voxel_grid(pos, size, batch=None, start=None, end=None):
     return torch.from_numpy(cid)
 
 
+def _tg_scatter(src, index, dim=0, dim_size=None, reduce="sum"):
+    """torch_geometric.utils.scatter (sum/mean/max) along dim 0."""
+    assert dim == 0
+    index = index.long()
+    n = int(dim_size) if dim_size is not None else int(index.max()) + 1
+    shape = (n,) + tuple(src.shape[1:])
+    if reduce in ("sum", "add", "mean"):
+        out = src.new_zeros(shape)
+        out.index_add_(0, index, src)
+        if reduce == "mean":
+            cnt = src.new_zeros(n).index_add_(
+                0, index, src.new_ones(len(index))
+            ).clamp(min=1)
+            out = out / cnt.view((n,) + (1,) * (src.ndim - 1))
+        return out
+    if reduce in ("max", "amax"):
+        out = src.new_full(shape, float("-inf"))
+        out.index_reduce_(0, index, src, "amax", include_self=True)
+        return out.masked_fill(out == float("-inf"), 0)
+    raise ValueError(reduce)
+
+
 def install_executable_stubs():
     spconv_pytorch = types.ModuleType("spconv.pytorch")
     spconv_pytorch.__path__ = []
@@ -425,7 +447,12 @@ def install_executable_stubs():
     tg_nn.pool = tg_pool
     tg_nn.voxel_grid = _voxel_grid
     tg_nn.__getattr__ = _inert_class_factory("torch_geometric.nn")
+    tg_utils = types.ModuleType("torch_geometric.utils")
+    tg_utils.__path__ = []
+    tg_utils.scatter = _tg_scatter
+    tg_utils.__getattr__ = _inert_class_factory("torch_geometric.utils")
     tg.nn = tg_nn
+    tg.utils = tg_utils
     tg.__getattr__ = _inert_class_factory("torch_geometric")
 
     sys.modules["spconv"] = spconv_pkg
@@ -436,6 +463,7 @@ def install_executable_stubs():
     sys.modules["torch_geometric"] = tg
     sys.modules["torch_geometric.nn"] = tg_nn
     sys.modules["torch_geometric.nn.pool"] = tg_pool
+    sys.modules["torch_geometric.utils"] = tg_utils
 
     # reference code constructs torch.cuda.*Tensor directly (e.g.
     # point_transformer_seg.py:100); shim CPU equivalents on CPU-only torch

@@ -1,0 +1,84 @@
+"""Full-model OACNNs forward golden vs the reference torch model through
+executable spconv/voxel_grid/scatter stand-ins, weights via
+utils/ckpt_bridge.convert_oacnns_checkpoint. B=1 keeps the voxel-grid
+cluster partitions comparable (torch_geometric aligns the grid to the
+GLOBAL coordinate minimum; our plans align per scene)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from tests.conftest import load_reference_package  # noqa: E402
+from tests.ref_exec_stubs import install_executable_stubs  # noqa: E402
+from tests.test_full_model_golden import _make_scene  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+MINI = dict(
+    in_channels=4,
+    num_classes=5,
+    embed_channels=8,
+    enc_channels=(8, 16),
+    groups=(2, 4),
+    enc_depth=(1, 1),
+    dec_channels=(8, 16),
+    point_grid_size=((4, 8), (2, 4)),
+    dec_depth=(1, 1),
+)
+
+
+@pytest.fixture(scope="module")
+def ref_oacnns():
+    install_executable_stubs()
+    mod = load_reference_package("pointcept.models.oacnns.oacnns_v1m1_base")
+    if mod is None:
+        pytest.skip("reference repo unavailable")
+    return mod
+
+
+def test_oacnns_forward_matches_reference(ref_oacnns):
+    rng = np.random.default_rng(29)
+    coord, grid, _ = _make_scene(rng, n_parents=64, levels=2)
+    n = len(grid)
+    feat = rng.normal(size=(n, MINI["in_channels"])).astype(np.float32)
+
+    ref_kwargs = dict(MINI)
+    ref_kwargs["enc_num_ref"] = (16, 16)
+    model = ref_oacnns.OACNNs(**ref_kwargs)
+    model.eval()
+    with torch.no_grad():
+        ref_out = model(dict(
+            grid_coord=torch.from_numpy(grid).int(),
+            feat=torch.from_numpy(feat),
+            offset=torch.tensor([n]),
+        )).numpy()
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    from scenesplat_tpu.models import PointBatch, build_model
+    from scenesplat_tpu.utils.ckpt_bridge import convert_oacnns_checkpoint
+
+    ours_model = build_model(dict(
+        type="OACNNs", **MINI, stage_capacity=(0.5, 0.25),
+    ))
+    pb = PointBatch(
+        coord=jnp.asarray(grid, jnp.float32)[None] * 0.02,
+        feat=jnp.asarray(feat)[None],
+        grid_coord=jnp.asarray(grid)[None],
+        mask=jnp.ones((1, n), bool),
+    )
+    variables = ours_model.init(
+        {"params": jax.random.PRNGKey(0)}, pb, train=False
+    )
+    params, batch_stats, report = convert_oacnns_checkpoint(
+        state, variables["params"], variables.get("batch_stats", {}),
+        backbone_prefix="",
+    )
+    assert report["unused_torch_keys"] == [], report["unused_torch_keys"]
+    out = ours_model.apply(
+        {"params": params, "batch_stats": batch_stats}, pb, train=False
+    )
+    ours = np.asarray(out.feat[0], np.float32)
+    assert ours.shape == ref_out.shape
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-4)
