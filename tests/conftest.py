@@ -143,6 +143,37 @@ def load_reference_package(dotted: str):
         return None
 
 
+_SLOW_MODULES = {
+    # compile-heavy: whole-model forwards/grads or full training cycles.
+    # Quick tier: `python -m pytest tests/ -m "not slow" -q` (~minutes);
+    # full suite stays `python -m pytest tests/ -x -q`.
+    "tests.test_engine", "tests.test_train_step", "tests.test_model",
+    "tests.test_ssl", "tests.test_msc", "tests.test_geometry_split",
+    "tests.test_context_parallel", "tests.test_full_model_golden",
+    "tests.test_spunet_golden", "tests.test_ptv1_golden",
+    "tests.test_ptv2_golden", "tests.test_oacnns_golden",
+    "tests.test_spunet", "tests.test_mink_unet", "tests.test_octformer",
+    "tests.test_stratified", "tests.test_spvcnn", "tests.test_oacnns",
+    "tests.test_ptv1", "tests.test_ptv2", "tests.test_cac",
+    "tests.test_ppt", "tests.test_point_group", "tests.test_ckpt_bridge",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: compile-heavy whole-model / training-cycle tests"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = getattr(item.module, "__name__", "")
+        if mod in _SLOW_MODULES or mod.split(".")[-1] in {
+            m.split(".")[-1] for m in _SLOW_MODULES
+        }:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu_backend():
     assert jax.default_backend() == "cpu", (
