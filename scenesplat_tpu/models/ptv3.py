@@ -896,6 +896,11 @@ class PointTransformerV3(nn.Module):
                 (self.enc_channels[0],), jnp.float32,
             ).astype(feat.dtype)
             if token_mask is not None:
+                # the reference's `org_feat[mask] = mask_token`
+                # (point_transformer_v3m1_ssl.py:736) mutates IN PLACE the
+                # storage shared with point.sparse_conv_feat, so unlike the
+                # decoder-unpooling case the first block's xCPE sees the
+                # MASKED features — plain substitution is exact parity
                 feat = jnp.where(token_mask[..., None], mask_token, feat)
 
         import numpy as _np

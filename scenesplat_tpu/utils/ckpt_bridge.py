@@ -146,6 +146,11 @@ def convert_ptv3_lang_checkpoint(
     # embedding stem
     put_conv("embedding.stem.conv", ("embedding", "conv"))
     put_bn("embedding.stem.norm", ("embedding", "norm"))
+    # SSL variant's learnable mask token ([1, C] -> [C])
+    mt = torch_get("mask_token")
+    if mt is not None:
+        _assign(bb_params, ("mask_token",), np.asarray(mt).reshape(-1),
+                filled)
 
     # stages: discover from flax template names (enc{S}_block{I} etc.)
     for name in list(bb_params.keys()):

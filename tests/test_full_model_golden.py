@@ -294,6 +294,95 @@ def test_gradients_match_reference(ref_ptv3):
     assert checked > 50
 
 
+def test_ssl_masked_forward_matches_reference():
+    """PTv3-SSL (PT-v3m1-simdino) with a mask-token forward: encoder and
+    decoder features must match the reference SSL variant
+    (point_transformer_v3m1_ssl.py:533-751) — including its quirk that the
+    mask-token assignment never re-syncs sparse features, so the first
+    block's xCPE convolves the UNMASKED embedding output."""
+    install_executable_stubs()
+    mod = load_reference_package(
+        "pointcept.models.point_transformer_v3_ssl.point_transformer_v3m1_ssl"
+    )
+    if mod is None:
+        pytest.skip("reference repo unavailable")
+    rng = np.random.default_rng(31)
+    coord, grid, feat = _make_scene(rng)
+    n = len(coord)
+    token_mask = rng.random(n) < 0.3
+
+    model = mod.PointTransformerV3_SIMDINO(
+        **MINI, enable_rpe=False, enable_flash=False,
+        upcast_attention=True, upcast_softmax=True,
+        do_mask=True, pooling_reduce="max",
+    )
+    model.eval()
+    for m in model.modules():
+        if isinstance(m, mod.SerializedPooling):
+            m.shuffle_orders = False
+    from unittest import mock
+
+    # the SSL Block hard-casts feat/coord to fp16 before attention
+    # (an AMP/flash-attn artifact, l.330-331); neutralize it so the CPU
+    # dense path runs in fp32 like our dtype=float32 configuration
+    with torch.no_grad(), mock.patch.object(
+        torch.Tensor, "half", lambda self: self
+    ):
+        model.mask_token.copy_(
+            torch.from_numpy(rng.normal(size=(1, 16)).astype(np.float32))
+        )
+        point_enc, point_dec = model(
+            dict(
+                coord=torch.from_numpy(coord),
+                grid_coord=torch.from_numpy(grid).int(),
+                feat=torch.from_numpy(feat),
+                offset=torch.tensor([n]),
+                grid_size=torch.tensor(0.02),
+            ),
+            mask=torch.from_numpy(token_mask),
+            return_dec=True,
+        )
+    ref_enc = point_enc.feat.numpy()
+    ref_dec = point_dec.feat.numpy()
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    from scenesplat_tpu.models import PointBatch, build_model
+    from scenesplat_tpu.utils.ckpt_bridge import convert_ptv3_lang_checkpoint
+
+    ours_model = build_model(dict(
+        type="PT-v3m1", **MINI, upcast_softmax=True, use_pallas=False,
+        stage_capacity=(0.5,), enable_mask_token=True, pool_reduce="max",
+    ))
+    pb = PointBatch(
+        coord=jnp.asarray(coord)[None], feat=jnp.asarray(feat)[None],
+        grid_coord=jnp.asarray(grid)[None], mask=jnp.ones((1, n), bool),
+    )
+    tm = jnp.asarray(token_mask)[None]
+    variables = ours_model.init(
+        {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
+        pb, train=False, token_mask=tm, return_enc=True,
+    )
+    params, batch_stats, report = convert_ptv3_lang_checkpoint(
+        state, variables["params"], variables.get("batch_stats", {}),
+        backbone_prefix="", flax_backbone_key="",
+    )
+    assert [k for k in report["unused_torch_keys"]
+            if "num_batches_tracked" not in k] == []
+    out, enc_feat, enc_mask = ours_model.apply(
+        {"params": params, "batch_stats": batch_stats}, pb, train=False,
+        token_mask=tm, return_enc=True,
+    )
+    ours_dec = np.asarray(out.feat[0], np.float32)
+    np.testing.assert_allclose(ours_dec, ref_dec, rtol=1e-4, atol=1e-4)
+    # encoder output: coarsest stage, order may differ — compare sorted rows
+    oe = np.asarray(enc_feat[0], np.float32)[np.asarray(enc_mask[0])]
+    assert oe.shape == ref_enc.shape
+    np.testing.assert_allclose(
+        oe[np.lexsort(oe.T)], ref_enc[np.lexsort(ref_enc.T)],
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_deep_forward_matches_reference(ref_ptv3):
     """3 stages, depth-2 blocks: exercises order round-robin (z-trans
     windows), two pooling levels, and the multi-block decoder."""
