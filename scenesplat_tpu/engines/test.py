@@ -106,6 +106,37 @@ class ZeroShotSemSegTester(TesterBase):
             name = scene.get("name", f"scene{i}")
             segment = np.asarray(scene["segment"]).reshape(-1)
             n = segment.shape[0]
+            # resume support: a saved post-voting prediction skips inference
+            # (reference test.py:272-288; same caveats — feature saving and
+            # pc_coord-based eval need the features, so recompute then)
+            pred_save_path = (
+                os.path.join(self.save_path, f"{name}_pred.npy")
+                if self.save_path else None
+            )
+            if (
+                pred_save_path
+                and os.path.isfile(pred_save_path)
+                and not self.save_feat
+                and "pc_coord" not in scene
+            ):
+                self.logger.info(f"{name}: loaded existing pred")
+                pred_eval = np.load(pred_save_path)
+                if pred_eval.ndim > 1:
+                    pred_eval = pred_eval[:, 0]  # saved top-3 (reference l.288)
+                target = (
+                    np.asarray(scene["origin_segment"]).reshape(-1)
+                    if "origin_segment" in scene else segment
+                )
+                if not self.skip_eval and target is not None:
+                    before = (metric.intersection.copy(),
+                              metric.union.copy(), metric.target.copy())
+                    metric.update(pred_eval, target)
+                    record[name] = dict(
+                        intersection=metric.intersection - before[0],
+                        union=metric.union - before[1],
+                        target=metric.target - before[2],
+                    )
+                continue
             prob = np.zeros((n, len(self.class_names)), np.float32)
             feat_sum = (
                 np.zeros((n, self.text_emb.shape[1]), np.float32)
@@ -184,6 +215,9 @@ class ZeroShotSemSegTester(TesterBase):
                 pred_eval = clustering_voting(
                     pred_eval, np.asarray(scene["origin_instance"]), self.ignore_index
                 )
+            if pred_save_path:
+                os.makedirs(self.save_path, exist_ok=True)
+                np.save(pred_save_path, pred_eval)  # reference test.py:505
             if not self.skip_eval and target is not None:
                 before = (metric.intersection.copy(), metric.union.copy(),
                           metric.target.copy())
