@@ -91,6 +91,13 @@ def sort_rows(operands, num_keys: int = 1):
     """
     operands = tuple(operands)
     n = operands[0].shape[-1]
+    if os.environ.get("SCENESPLAT_RADIX_SORT") == "1":
+        # pure-XLA LSD radix: flat compile cost, stable (no tie-break
+        # promotion needed); runtime vs the sort networks is a hardware
+        # question — probe_radix_tpu.py before defaulting (TPU_TODO.md)
+        from .radix_sort import radix_sort_rows
+
+        return radix_sort_rows(operands, num_keys=num_keys)
     if use_pallas_sort(len(operands), n):
         interpret = jax.default_backend() == "cpu"
         return bitonic_sort(operands, num_keys=num_keys, interpret=interpret)
