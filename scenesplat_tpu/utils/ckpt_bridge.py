@@ -698,6 +698,119 @@ def convert_oacnns_checkpoint(
     return params, batch_stats, report
 
 
+def convert_spvcnn_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    backbone_prefix: str = "backbone.",
+):
+    """Fill flax SPVCNN params from a reference torchsparse SPVCNN state
+    dict (ts_spvcnn.py:178-440 key layout; conv weights are ``kernel``
+    [k^3, in, out], or [in, out] for k=1).
+
+    stem.{0,3} / .{1,4}            -> stem{0,1}/conv | /norm
+    stage{s}.0.net.{0,1}           -> stage{s}_down | _down_norm
+    stage{s}.{i}.net / .downsample -> stage{s}_block{i-1}/...
+    up{j}.0.net.{0,1}              -> up{j}_deconv | _deconv_norm
+    up{j}.1.{i}.net                -> up{j}_block{i}/...
+    point_transforms.{t}.{0,1}     -> point_transform{t}_fc | _norm
+    classifier.0                   -> classifier
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        full = backbone_prefix + key
+        if full in torch_state:
+            used.add(full)
+            return torch_state[full]
+        return None
+
+    def put_kernel(tkey, fpath, transpose_dense=False):
+        w = torch_get(tkey + ".kernel")
+        if w is None:
+            w = torch_get(tkey + ".weight")
+            if w is not None and transpose_dense:
+                w = w.T
+        if w is None:
+            return
+        _assign(params, fpath + ("kernel",), w, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    def put_bn(tkey, fpath):
+        for suffix, tree, leaf in (
+            (".weight", params, "scale"), (".bias", params, "bias"),
+            (".running_mean", batch_stats, "mean"),
+            (".running_var", batch_stats, "var"),
+        ):
+            w = torch_get(tkey + suffix)
+            if w is not None:
+                _assign(tree, fpath + (leaf,), w, filled)
+        torch_get(tkey + ".num_batches_tracked")
+
+    def put_res_block(t, f):
+        put_kernel(f"{t}.net.0", f + ("conv1",))
+        put_bn(f"{t}.net.1", f + ("norm1",))
+        put_kernel(f"{t}.net.3", f + ("conv2",))
+        put_bn(f"{t}.net.4", f + ("norm2",))
+        put_kernel(f"{t}.downsample.0", f + ("downsample",))
+        put_bn(f"{t}.downsample.1", f + ("downsample_norm",))
+
+    put_kernel("stem.0", ("stem0", "conv"))
+    put_bn("stem.1", ("stem0", "norm"))
+    put_kernel("stem.3", ("stem1", "conv"))
+    put_bn("stem.4", ("stem1", "norm"))
+    put_kernel("classifier.0", ("classifier",), transpose_dense=True)
+    for t in range(3):
+        w = torch_get(f"point_transforms.{t}.0.weight")
+        if w is not None:
+            _assign(params, (f"point_transform{t}_fc", "kernel"), w.T, filled)
+        b = torch_get(f"point_transforms.{t}.0.bias")
+        if b is not None:
+            _assign(params, (f"point_transform{t}_fc", "bias"), b, filled)
+        put_bn(f"point_transforms.{t}.1", (f"point_transform{t}_norm",))
+
+    for name in list(params.keys()):
+        m = re.fullmatch(r"stage(\d+)_down", name)
+        if m:
+            s = m.group(1)
+            put_kernel(f"stage{s}.0.net.0", (name,))
+            put_bn(f"stage{s}.0.net.1", (f"stage{s}_down_norm",))
+            continue
+        m = re.fullmatch(r"stage(\d+)_block(\d+)", name)
+        if m:
+            s, i = m.group(1), int(m.group(2))
+            put_res_block(f"stage{s}.{i + 1}", (name,))
+            continue
+        m = re.fullmatch(r"up(\d+)_deconv", name)
+        if m:
+            j = m.group(1)
+            put_kernel(f"up{j}.0.net.0", (name,))
+            put_bn(f"up{j}.0.net.1", (f"up{j}_deconv_norm",))
+            continue
+        m = re.fullmatch(r"up(\d+)_block(\d+)", name)
+        if m:
+            j, i = m.group(1), m.group(2)
+            put_res_block(f"up{j}.1.{i}", (name,))
+            continue
+
+    report = {
+        "unused_torch_keys": sorted(k for k in torch_state if k not in used),
+        "filled_leaves": len(filled),
+    }
+    return params, batch_stats, report
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:
