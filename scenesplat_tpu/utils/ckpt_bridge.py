@@ -811,6 +811,97 @@ def convert_spvcnn_checkpoint(
     return params, batch_stats, report
 
 
+def convert_mink_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    backbone_prefix: str = "backbone.",
+):
+    """Fill flax MinkUNet params from a reference MinkowskiEngine MinkUNet
+    state dict (sparse_unet/mink_unet.py:159-362 layout; conv weights are
+    ``kernel`` [k^3, in, out] or [in, out] for k=1; BNs nest under ``.bn``).
+
+    conv0p1s1 / bn0.bn        -> conv0 / bn0
+    conv{s}p*s2 / bn{s}.bn    -> conv{s}_down / bn{s}
+    block{s}.{i}.*            -> enc{s}_block{i}/... (s 1..4)
+    convtr{j}p*s2 / bntr{j}   -> convtr{j} / bntr{j}
+    block{5+d}.{i}.*          -> dec{4+d}_block{i}/...
+    final.kernel|bias         -> final (Dense)
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        full = backbone_prefix + key
+        if full in torch_state:
+            used.add(full)
+            return torch_state[full]
+        return None
+
+    def put_kernel(tkey, fpath):
+        w = torch_get(tkey + ".kernel")
+        if w is None:
+            return
+        _assign(params, fpath + ("kernel",), w, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    def put_bn(tkey, fpath):
+        for suffix, tree, leaf in (
+            (".bn.weight", params, "scale"), (".bn.bias", params, "bias"),
+            (".bn.running_mean", batch_stats, "mean"),
+            (".bn.running_var", batch_stats, "var"),
+        ):
+            w = torch_get(tkey + suffix)
+            if w is not None:
+                _assign(tree, fpath + (leaf,), w, filled)
+        torch_get(tkey + ".bn.num_batches_tracked")
+
+    def put_block(t, f):
+        for j in (1, 2, 3):
+            put_kernel(f"{t}.conv{j}", f + (f"conv{j}",))
+            put_bn(f"{t}.norm{j}", f + (f"norm{j}",))
+        put_kernel(f"{t}.downsample.0", f + ("downsample",))
+        put_bn(f"{t}.downsample.1", f + ("downsample_norm",))
+
+    put_kernel("conv0p1s1", ("conv0",))
+    put_bn("bn0", ("bn0",))
+    put_kernel("final", ("final",))
+    strides = {1: 1, 2: 2, 3: 4, 4: 8}  # conv{s}p{stride_in}s2 names
+    for s in range(1, 5):
+        put_kernel(f"conv{s}p{strides[s]}s2", (f"conv{s}_down",))
+        put_bn(f"bn{s}", (f"bn{s}",))
+    tr_strides = {4: 16, 5: 8, 6: 4, 7: 2}
+    for j in range(4, 8):
+        put_kernel(f"convtr{j}p{tr_strides[j]}s2", (f"convtr{j}",))
+        put_bn(f"bntr{j}", (f"bntr{j}",))
+    for name in list(params.keys()):
+        m = re.fullmatch(r"enc(\d+)_block(\d+)", name)
+        if m:
+            put_block(f"block{m.group(1)}.{m.group(2)}", (name,))
+            continue
+        m = re.fullmatch(r"dec(\d+)_block(\d+)", name)
+        if m:
+            d = int(m.group(1))  # dec4..dec7 <-> block5..block8
+            put_block(f"block{d + 1}.{m.group(2)}", (name,))
+            continue
+
+    report = {
+        "unused_torch_keys": sorted(k for k in torch_state if k not in used),
+        "filled_leaves": len(filled),
+    }
+    return params, batch_stats, report
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:
