@@ -902,6 +902,155 @@ def convert_mink_checkpoint(
     return params, batch_stats, report
 
 
+def convert_cac_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+):
+    """Fill flax CACSegmentor params from a reference CAC-v1m1 state dict
+    (context_aware_classifier_v1m1_base.py:17-63): the SpUNet backbone goes
+    through convert_spunet_checkpoint under ``backbone_module``; the head
+    maps seg_head -> seg_kernel/seg_bias (prototype matrix transposed),
+    proj/apd_proj Sequentials -> *_fc1/_fc2, feat_proj_layer ->
+    feat_fc1 + feat_norm (flax BatchNorm) + feat_fc2."""
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    bb_state = {
+        k[len("backbone."):]: v
+        for k, v in torch_state.items() if k.startswith("backbone.")
+    }
+    bb_params, bb_stats, bb_report = convert_spunet_checkpoint(
+        bb_state,
+        params["backbone_module"],
+        batch_stats.get("backbone_module", {}),
+        backbone_prefix="",
+    )
+    params["backbone_module"] = bb_params
+    if "backbone_module" in batch_stats:
+        batch_stats["backbone_module"] = bb_stats
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        if key in torch_state:
+            used.add(key)
+            return torch_state[key]
+        return None
+
+    def put_dense(tkey, fname):
+        w = torch_get(tkey + ".weight")
+        if w is not None:
+            _assign(params, (fname, "kernel"), w.T, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, (fname, "bias"), b, filled)
+
+    w = torch_get("seg_head.weight")
+    if w is not None:
+        _assign(params, ("seg_kernel",), w.T, filled)
+    b = torch_get("seg_head.bias")
+    if b is not None:
+        _assign(params, ("seg_bias",), b, filled)
+    put_dense("proj.0", "proj_fc1")
+    put_dense("proj.2", "proj_fc2")
+    put_dense("apd_proj.0", "apd_fc1")
+    put_dense("apd_proj.2", "apd_fc2")
+    put_dense("feat_proj_layer.0", "feat_fc1")
+    put_dense("feat_proj_layer.3", "feat_fc2")
+    for suffix, tree, leaf in (
+        (".weight", params, "scale"), (".bias", params, "bias"),
+        (".running_mean", batch_stats, "mean"),
+        (".running_var", batch_stats, "var"),
+    ):
+        v = torch_get("feat_proj_layer.1" + suffix)
+        if v is not None:
+            _assign(tree, ("feat_norm", leaf), v, filled)
+    torch_get("feat_proj_layer.1.num_batches_tracked")
+
+    report = {
+        "unused_torch_keys": sorted(
+            ["backbone." + k for k in bb_report["unused_torch_keys"]]
+            + [k for k in torch_state
+               if not k.startswith("backbone.") and k not in used]
+        ),
+        "filled_leaves": len(filled) + bb_report["filled_leaves"],
+    }
+    return params, batch_stats, report
+
+
+def convert_pointgroup_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+):
+    """Fill flax PointGroup params from a reference PG-v1m1 state dict
+    (point_group_v1m1_base.py:24-58): SpUNet backbone under
+    ``backbone_module`` + bias_head.{0,1,3} -> bias_fc1/bias_norm/bias_fc2
+    and seg_head."""
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    bb_state = {
+        k[len("backbone."):]: v
+        for k, v in torch_state.items() if k.startswith("backbone.")
+    }
+    bb_params, bb_stats, bb_report = convert_spunet_checkpoint(
+        bb_state, params["backbone_module"],
+        batch_stats.get("backbone_module", {}), backbone_prefix="",
+    )
+    params["backbone_module"] = bb_params
+    if "backbone_module" in batch_stats:
+        batch_stats["backbone_module"] = bb_stats
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        if key in torch_state:
+            used.add(key)
+            return torch_state[key]
+        return None
+
+    for tkey, fname in (("bias_head.0", "bias_fc1"),
+                        ("bias_head.3", "bias_fc2"),
+                        ("seg_head", "seg_head")):
+        w = torch_get(tkey + ".weight")
+        if w is not None:
+            _assign(params, (fname, "kernel"), w.T, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, (fname, "bias"), b, filled)
+    for suffix, tree, leaf in (
+        (".weight", params, "scale"), (".bias", params, "bias"),
+        (".running_mean", batch_stats, "mean"),
+        (".running_var", batch_stats, "var"),
+    ):
+        v = torch_get("bias_head.1" + suffix)
+        if v is not None:
+            _assign(tree, ("bias_norm", leaf), v, filled)
+    torch_get("bias_head.1.num_batches_tracked")
+
+    report = {
+        "unused_torch_keys": sorted(
+            ["backbone." + k for k in bb_report["unused_torch_keys"]]
+            + [k for k in torch_state
+               if not k.startswith("backbone.") and k not in used]
+        ),
+        "filled_leaves": len(filled) + bb_report["filled_leaves"],
+    }
+    return params, batch_stats, report
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:

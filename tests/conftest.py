@@ -152,7 +152,8 @@ _SLOW_MODULES = {
     "tests.test_context_parallel", "tests.test_full_model_golden",
     "tests.test_spunet_golden", "tests.test_ptv1_golden",
     "tests.test_ptv2_golden", "tests.test_oacnns_golden", "tests.test_spvcnn_golden",
-    "tests.test_mink_golden",
+    "tests.test_mink_golden", "tests.test_cac_golden",
+    "tests.test_pointgroup_golden",
     "tests.test_spunet", "tests.test_mink_unet", "tests.test_octformer",
     "tests.test_stratified", "tests.test_spvcnn", "tests.test_oacnns",
     "tests.test_ptv1", "tests.test_ptv2", "tests.test_cac",
