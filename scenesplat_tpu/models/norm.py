@@ -129,7 +129,9 @@ class PDNorm(nn.Module):
                     stacked, cidx.reshape(1, -1, 1, 1).astype(jnp.int32), axis=0
                 )[0]
         if self.adaptive and context is not None:
-            mod = nn.Dense(2 * self.features, use_bias=False, name="modulation")(
+            # reference modulation = Sequential(SiLU, Linear(bias=True))
+            # (prompt_driven_normalization.py:28-30, PDBatchNorm l.59-61)
+            mod = nn.Dense(2 * self.features, name="modulation")(
                 nn.silu(context)
             )
             shift, scale = jnp.split(mod, 2, axis=-1)

@@ -1051,6 +1051,115 @@ def convert_pointgroup_checkpoint(
     return params, batch_stats, report
 
 
+def convert_spunet_v1m3_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    num_conditions: int,
+    backbone_prefix: str = "backbone.",
+):
+    """Fill flax SpUNet-v1m3 (PDNorm) params from a reference
+    spconv_unet_v1m3_pdnorm state dict (l.231-438 layout: SPConvPatchEmbed/
+    SPConvDown/SPConvUp wrappers with ``conv``/``bn`` attrs; PDBatchNorm
+    ``bns.{c}`` per condition + ``modulation.1`` adaptive Linear; blocks use
+    proj_conv/proj_norm instead of v1m1's proj Sequential)."""
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        full = backbone_prefix + key
+        if full in torch_state:
+            used.add(full)
+            return torch_state[full]
+        return None
+
+    def put_conv(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        tmpl = _lookup(params, fpath + ("kernel",))
+        if tmpl is None:
+            return
+        if tmpl.ndim == 2:  # pointwise: [1,1,1,in,out]-ish -> Dense
+            if w.ndim == 5:
+                w = (w.reshape(w.shape[3], w.shape[4])
+                     if w.shape[:3] == (1, 1, 1)
+                     else w.reshape(w.shape[0], w.shape[4]).T)
+            _assign(params, fpath + ("kernel",), w, filled)
+        else:
+            k3, cin, cout = tmpl.shape
+            _assign(params, fpath + ("kernel",), _conv_kernel(w, cin, cout),
+                    filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    def put_pd(tkey, fpath):
+        """PDBatchNorm -> <fpath>/pdnorm/{norm{c}, modulation}."""
+        base = fpath + ("pdnorm",)
+        for c in range(num_conditions):
+            for suffix, tree, leaf in (
+                (".weight", params, "scale"), (".bias", params, "bias"),
+                (".running_mean", batch_stats, "mean"),
+                (".running_var", batch_stats, "var"),
+            ):
+                v = torch_get(f"{tkey}.bns.{c}{suffix}")
+                if v is not None:
+                    _assign(tree, base + (f"norm{c}", leaf), v, filled)
+            torch_get(f"{tkey}.bns.{c}.num_batches_tracked")
+        w = torch_get(tkey + ".modulation.1.weight")
+        if w is not None:
+            _assign(params, base + ("modulation", "kernel"), w.T, filled)
+        b = torch_get(tkey + ".modulation.1.bias")
+        if b is not None:
+            _assign(params, base + ("modulation", "bias"), b, filled)
+
+    put_conv("conv_input.conv", ("conv_input",))
+    put_pd("conv_input.bn", ("norm_input",))
+    put_conv("final", ("final",))
+    fb = torch_get("final.bias")
+    if fb is not None:
+        _assign(params, ("final", "bias"), fb, filled)
+
+    for name in list(params.keys()):
+        m = re.fullmatch(r"down(\d+)", name)
+        if m:
+            s = m.group(1)
+            put_conv(f"down.{s}.conv", (name,))
+            put_pd(f"down.{s}.bn", (f"down{s}_norm",))
+            continue
+        m = re.fullmatch(r"up(\d+)", name)
+        if m:
+            s = m.group(1)
+            put_conv(f"up.{s}.conv", (name,))
+            put_pd(f"up.{s}.bn", (f"up{s}_norm",))
+            continue
+        m = re.fullmatch(r"(enc|dec)(\d+)_block(\d+)", name)
+        if m:
+            t = f"{m.group(1)}.{m.group(2)}.block{m.group(3)}"
+            put_conv(f"{t}.conv1", (name, "conv1"))
+            put_conv(f"{t}.conv2", (name, "conv2"))
+            put_pd(f"{t}.bn1", (name, "bn1"))
+            put_pd(f"{t}.bn2", (name, "bn2"))
+            put_conv(f"{t}.proj_conv", (name, "proj"))
+            put_pd(f"{t}.proj_norm", (name, "proj_norm"))
+            continue
+
+    report = {
+        "unused_torch_keys": sorted(k for k in torch_state if k not in used),
+        "filled_leaves": len(filled),
+    }
+    return params, batch_stats, report
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:
