@@ -73,11 +73,18 @@ class PointPromptTraining(nn.Module):
             self.logit_scale = self.param(
                 "logit_scale", lambda k: jnp.asarray(np.log(1 / 0.07), jnp.float32)
             )
-            # static per-condition class-validity matrix [C, n_cls]
-            vmat = np.full((len(self.conditions), n_cls), False)
+            # static per-condition class-id table, padded to the max count:
+            # the reference SLICES the embedding to valid_index[condition]
+            # (v1m1 l.157-161), so logits — and segment labels — live in the
+            # condition's LOCAL class space. [C, max_k] gather ids + counts.
+            max_k = max(len(ix) for ix in self.valid_index)
+            gids = np.zeros((len(self.conditions), max_k), np.int32)
+            counts = np.zeros((len(self.conditions),), np.int32)
             for ci, idxs in enumerate(self.valid_index):
-                vmat[ci, list(idxs)] = True
-            self.valid_matrix = jnp.asarray(vmat)
+                gids[ci, : len(idxs)] = list(idxs)
+                counts[ci] = len(idxs)
+            self.class_gather_ids = jnp.asarray(gids)
+            self.class_counts = jnp.asarray(counts)
 
     def __call__(self, point: PointBatch, condition_index, train: bool = False):
         context = self.embedding_table(
@@ -96,9 +103,14 @@ class PointPromptTraining(nn.Module):
         emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
         sim = feat.astype(jnp.float32) @ emb.T  # [B, N, n_cls]
         logits = jnp.exp(self.logit_scale) * sim
-        # restrict to the condition's valid classes with -inf padding
-        valid = jnp.take(self.valid_matrix, condition_index, axis=0)
-        logits = jnp.where(valid, logits, -1e9)
+        # LOCAL class space (reference v1m1 l.157-161): gather the
+        # condition's classes, fixed-shape padded to max_k with -inf tail —
+        # segment labels index into valid_index[condition] like the reference
+        sel = jnp.take(self.class_gather_ids, condition_index, axis=0)
+        logits = jnp.take(logits, sel, axis=-1)  # [B, N, max_k]
+        k_valid = jnp.take(self.class_counts, condition_index)
+        slot = jnp.arange(sel.shape[-1])
+        logits = jnp.where(slot < k_valid, logits, -1e9)
         return out.replace(feat=logits)
 
 

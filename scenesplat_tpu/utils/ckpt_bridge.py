@@ -1160,6 +1160,72 @@ def convert_spunet_v1m3_checkpoint(
     return params, batch_stats, report
 
 
+def convert_ppt_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    num_conditions: int,
+):
+    """Fill flax PPT-v1m1 params from a reference
+    point_prompt_training_v1m1 state dict: the SpUNet-v1m3 backbone under
+    ``backbone_module`` (convert_spunet_v1m3_checkpoint), plus
+    embedding_table, proj_head, logit_scale, and the class_embedding
+    buffer (returned separately — it lives in our 'constants' collection)."""
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    bb_state = {
+        k[len("backbone."):]: v
+        for k, v in torch_state.items() if k.startswith("backbone.")
+    }
+    bb_params, bb_stats, bb_report = convert_spunet_v1m3_checkpoint(
+        bb_state, params["backbone_module"],
+        batch_stats.get("backbone_module", {}),
+        num_conditions=num_conditions, backbone_prefix="",
+    )
+    params["backbone_module"] = bb_params
+    if "backbone_module" in batch_stats:
+        batch_stats["backbone_module"] = bb_stats
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        if key in torch_state:
+            used.add(key)
+            return torch_state[key]
+        return None
+
+    w = torch_get("embedding_table.weight")
+    if w is not None:
+        _assign(params, ("embedding_table", "embedding"), w, filled)
+    w = torch_get("proj_head.weight")
+    if w is not None:
+        _assign(params, ("proj_head", "kernel"), w.T, filled)
+    b = torch_get("proj_head.bias")
+    if b is not None:
+        _assign(params, ("proj_head", "bias"), b, filled)
+    ls = torch_get("logit_scale")
+    if ls is not None:
+        _assign(params, ("logit_scale",), np.asarray(ls).reshape(()), filled)
+    class_embedding = torch_get("class_embedding")
+
+    report = {
+        "unused_torch_keys": sorted(
+            ["backbone." + k for k in bb_report["unused_torch_keys"]]
+            + [k for k in torch_state
+               if not k.startswith("backbone.") and k not in used]
+        ),
+        "filled_leaves": len(filled) + bb_report["filled_leaves"],
+        "class_embedding": class_embedding,
+    }
+    return params, batch_stats, report
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:

@@ -153,7 +153,7 @@ _SLOW_MODULES = {
     "tests.test_spunet_golden", "tests.test_ptv1_golden",
     "tests.test_ptv2_golden", "tests.test_oacnns_golden", "tests.test_spvcnn_golden",
     "tests.test_mink_golden", "tests.test_cac_golden",
-    "tests.test_pdnorm_golden",
+    "tests.test_pdnorm_golden", "tests.test_ppt_golden",
     "tests.test_pointgroup_golden",
     "tests.test_spunet", "tests.test_mink_unet", "tests.test_octformer",
     "tests.test_stratified", "tests.test_spvcnn", "tests.test_oacnns",

@@ -44,10 +44,10 @@ def test_ppt_v1m1_language_guided():
     variables = model.init(jax.random.PRNGKey(0), point, cond)
     out = model.apply(variables, point, cond)
     logits = np.asarray(out.feat)
-    assert logits.shape == (2, 96, 5)
-    # invalid classes for condition 1 (ScanNet: 0-3 valid) are -inf-masked
-    assert (logits[..., 4] < -1e8).all()
-    assert np.isfinite(logits[..., :4][np.asarray(out.mask)]).all()
+    # LOCAL class space like the reference (v1m1 l.157-161): max_k = 4
+    # slots; condition 1 (ScanNet) has 4 valid classes, none masked
+    assert logits.shape == (2, 96, 4)
+    assert np.isfinite(logits[np.asarray(out.mask)]).all()
     # different condition selects different norms => different outputs
     out0 = model.apply(variables, point, jnp.asarray(0, jnp.int32))
     assert not np.allclose(np.asarray(out0.feat)[..., :3], logits[..., :3])
