@@ -1226,6 +1226,72 @@ def convert_ppt_checkpoint(
     return params, batch_stats, report
 
 
+def convert_ppt_v1m2_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    num_conditions: int,
+):
+    """PPT-v1m2 (decoupled heads): v1m3 backbone + embedding_table +
+    seg_heads.{i} — each reference head is [num_cls_i, C]; ours pad to
+    max(num_classes) columns, so the head kernels fill a leading slice."""
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    bb_state = {
+        k[len("backbone."):]: v
+        for k, v in torch_state.items() if k.startswith("backbone.")
+    }
+    bb_params, bb_stats, bb_report = convert_spunet_v1m3_checkpoint(
+        bb_state, params["backbone_module"],
+        batch_stats.get("backbone_module", {}),
+        num_conditions=num_conditions, backbone_prefix="",
+    )
+    params["backbone_module"] = bb_params
+    if "backbone_module" in batch_stats:
+        batch_stats["backbone_module"] = bb_stats
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        if key in torch_state:
+            used.add(key)
+            return torch_state[key]
+        return None
+
+    w = torch_get("embedding_table.weight")
+    if w is not None:
+        _assign(params, ("embedding_table", "embedding"), w, filled)
+    for i in range(num_conditions):
+        w = torch_get(f"seg_heads.{i}.weight")
+        if w is None:
+            continue
+        tmpl = _lookup(params, (f"seg_head{i}", "kernel"))
+        k = np.array(tmpl)
+        k[:, : w.shape[0]] = w.T
+        _assign(params, (f"seg_head{i}", "kernel"), k, filled)
+        b = torch_get(f"seg_heads.{i}.bias")
+        if b is not None:
+            bb = np.array(_lookup(params, (f"seg_head{i}", "bias")))
+            bb[: b.shape[0]] = b
+            _assign(params, (f"seg_head{i}", "bias"), bb, filled)
+
+    report = {
+        "unused_torch_keys": sorted(
+            ["backbone." + k for k in bb_report["unused_torch_keys"]]
+            + [k for k in torch_state
+               if not k.startswith("backbone.") and k not in used]
+        ),
+        "filled_leaves": len(filled) + bb_report["filled_leaves"],
+    }
+    return params, batch_stats, report
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:

@@ -127,3 +127,78 @@ def test_ppt_forward_matches_reference(cond_idx, tmp_path):
     np.testing.assert_allclose(ours, ref_logits, rtol=2e-4, atol=2e-4)
     # the padded tail slots are -inf-masked
     assert (np.asarray(out.feat[0, :, k:]) < -1e8).all()
+
+
+@pytest.mark.parametrize("cond_idx", [0, 1])
+def test_ppt_v1m2_forward_matches_reference(cond_idx):
+    """Decoupled-head variant: per-condition Linear heads (reference v1m2);
+    ours pad to max(num_classes) with a masked tail."""
+    install_executable_stubs()
+    mod = load_reference_package(
+        "pointcept.models.point_prompt_training."
+        "point_prompt_training_v1m2_decoupled"
+    )
+    if mod is None:
+        pytest.skip("reference repo unavailable")
+    rng = np.random.default_rng(59)
+    coord, grid, _ = _make_scene(rng, n_parents=64, levels=2)
+    n = len(grid)
+    feat = rng.normal(size=(n, 4)).astype(np.float32)
+    num_classes = (6, 4)
+    backbone = dict(
+        type="SpUNet-v1m3", in_channels=4, num_classes=0, base_channels=8,
+        channels=(8, 16, 16, 8), layers=(1, 1, 1, 1), conditions=CONDITIONS,
+    )
+
+    class _AD(dict):
+        __getattr__ = dict.__getitem__
+
+    model = mod.PointPromptTraining(
+        backbone=_AD(dict(backbone, zero_init=False, norm_affine=False)),
+        criteria=[dict(type="CrossEntropyLoss", loss_weight=1.0,
+                       ignore_index=-1)],
+        backbone_out_channels=8, context_channels=256,
+        conditions=CONDITIONS, num_classes=num_classes,
+    )
+    model.eval()
+    with torch.no_grad():
+        out = model(dict(
+            coord=torch.from_numpy(coord * 0.02),
+            grid_coord=torch.from_numpy(grid).int(),
+            feat=torch.from_numpy(feat),
+            offset=torch.tensor([n]),
+            condition=[CONDITIONS[cond_idx]],
+        ))
+        ref_logits = out["seg_logits"].numpy()
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    from scenesplat_tpu.models import PointBatch, build_model
+    from scenesplat_tpu.utils.ckpt_bridge import convert_ppt_v1m2_checkpoint
+
+    ours_model = build_model(dict(
+        type="PPT-v1m2",
+        backbone=dict(backbone, stage_capacity=(0.5, 0.25),
+                      pd_adaptive=True),
+        backbone_out_channels=8, context_channels=256,
+        conditions=CONDITIONS, num_classes=num_classes,
+    ))
+    pb = PointBatch(
+        coord=jnp.asarray(coord * 0.02)[None],
+        feat=jnp.asarray(feat)[None],
+        grid_coord=jnp.asarray(grid)[None],
+        mask=jnp.ones((1, n), bool),
+    )
+    cidx = jnp.asarray(cond_idx, jnp.int32)
+    variables = ours_model.init(jax.random.PRNGKey(0), pb, cidx)
+    params, batch_stats, report = convert_ppt_v1m2_checkpoint(
+        state, variables["params"], variables.get("batch_stats", {}),
+        num_conditions=len(CONDITIONS),
+    )
+    assert report["unused_torch_keys"] == [], report["unused_torch_keys"]
+    out = ours_model.apply(
+        {"params": params, "batch_stats": batch_stats}, pb, cidx, train=False,
+    )
+    k = num_classes[cond_idx]
+    ours = np.asarray(out.feat[0, :, :k], np.float32)
+    assert ours.shape == ref_logits.shape
+    np.testing.assert_allclose(ours, ref_logits, rtol=2e-4, atol=2e-4)
