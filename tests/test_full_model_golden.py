@@ -383,6 +383,55 @@ def test_ssl_masked_forward_matches_reference():
     )
 
 
+def test_lang_pretrainer_checkpoint_path(ref_ptv3):
+    """Flagship-checkpoint flow exactly as released .pth files use it:
+    a 'backbone.'-prefixed LangPretrainer state dict loads through
+    convert_ptv3_lang_checkpoint's DEFAULT prefix/backbone-key arguments
+    and the LangPretrainer wrapper (backbone + L2 normalize) matches the
+    reference semantics (models/default.py:77-107)."""
+    rng = np.random.default_rng(61)
+    coord, grid, feat = _make_scene(rng)
+    ref_feat, torch_state = _run_reference(ref_ptv3, coord, grid, feat, MINI)
+    # reference LangPretrainer checkpoints carry backbone.* keys
+    prefixed = {"backbone." + k: v for k, v in torch_state.items()}
+    ref_out = ref_feat / np.maximum(
+        np.linalg.norm(ref_feat, axis=-1, keepdims=True), 1e-12
+    )
+
+    from scenesplat_tpu.models import PointBatch, build_model
+    from scenesplat_tpu.utils.ckpt_bridge import convert_ptv3_lang_checkpoint
+
+    n = len(coord)
+    model = build_model(dict(
+        type="LangPretrainer",
+        backbone=dict(type="PT-v3m1", **MINI, upcast_softmax=True,
+                      use_pallas=False, stage_capacity=(0.5,)),
+    ))
+    pb = PointBatch(
+        coord=jnp.asarray(coord)[None], feat=jnp.asarray(feat)[None],
+        grid_coord=jnp.asarray(grid)[None], mask=jnp.ones((1, n), bool),
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
+        pb, train=False,
+    )
+    params, batch_stats, report = convert_ptv3_lang_checkpoint(
+        prefixed, variables["params"], variables.get("batch_stats", {}),
+    )
+    leftovers = [k for k in report["unused_torch_keys"]
+                 if "num_batches_tracked" not in k]
+    assert leftovers == [], leftovers
+    out = model.apply(
+        {"params": params, "batch_stats": batch_stats}, pb, train=False
+    )
+    ours = np.asarray(out.feat[0], np.float32)
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-4)
+    # normalized features: unit rows
+    np.testing.assert_allclose(
+        np.linalg.norm(ours, axis=-1), 1.0, atol=1e-4
+    )
+
+
 def test_deep_forward_matches_reference(ref_ptv3):
     """3 stages, depth-2 blocks: exercises order round-robin (z-trans
     windows), two pooling levels, and the multi-block decoder."""
