@@ -2,16 +2,25 @@
 
 conftest.load_reference_package installs inert stubs — enough to *import*
 reference modules for goldens on pure-torch code, but a full-model forward
-needs spconv.SubMConv3d and torch_scatter.segment_csr to actually execute.
-These implement both in pure torch/numpy:
+needs the CUDA libraries to actually execute. This module implements their
+documented semantics in pure torch/numpy:
 
-- SubMConv3d: submanifold sparse conv = cross-correlation restricted to
-  active sites. out[p] = sum_k W[k] @ x[p + (k - r)] where the neighbor
-  lookup hits only occupied voxels (spconv semantics); weight layout
-  [k, k, k, in, out] (spconv's classic layout, understood by
-  utils/ckpt_bridge._conv_kernel).
-- segment_csr: CSR-segment reduction (sum/mean/min/max), the only
-  torch_scatter entry point PTv3 uses (point_transformer_v3m1_base.py:416).
+- spconv: SubMConv3d (cross-correlation restricted to active sites,
+  out[p] = sum_k W[k] @ x[p + (k - r)]), strided SparseConv3d (pair
+  enumeration, indice_key registration), SparseInverseConv3d (kmap replay
+  with restored fine coords + spatial shape), SparseSequential/Identity
+  with a SparseModule marker base; weight layout [k, k, k, in, out]
+  (understood by utils/ckpt_bridge._conv_kernel).
+- torch_scatter.segment_csr (sum/mean/min/max).
+- pointops: knn_query (per-segment exact kNN, -1 padding), grouping,
+  interpolation (IDW k-NN), farthest_point_sampling,
+  knn_query_and_group.
+- torch_geometric: voxel_grid (injective batch-monotone cluster ids) and
+  utils.scatter (sum/mean/max).
+- CPU shims for direct torch.cuda.*Tensor constructors.
+
+Companion modules: ts_stub.py (torchsparse for SPVCNN), me_stub.py
+(MinkowskiEngine for MinkUNet).
 
 install_executable_stubs() swaps these into sys.modules and purges cached
 pointcept.models modules so a subsequent load_reference_package binds the
@@ -101,12 +110,6 @@ class SubMConv3d(SparseModule):
 
 
 _INDICE_CACHE: dict = {}
-
-
-def _coord_lut(idx, spatial_shape):
-    sx, sy, sz = (int(s) for s in spatial_shape[:3])
-    key = ((idx[:, 0] * sx + idx[:, 1]) * sy + idx[:, 2]) * sz + idx[:, 3]
-    return {int(k): i for i, k in enumerate(key)}
 
 
 class SparseConv3d(SparseModule):
