@@ -126,8 +126,12 @@ class MaskedSceneContrast(nn.Module):
         w = pair_valid.astype(jnp.float32)
         denom = jnp.maximum(w.sum(), 1.0)
         pos_sim = (jnp.diagonal(sim) * w).sum() / denom
-        neg_sim = ((sim * w[None, :]).sum(-1) * w).sum() / jnp.maximum(
-            (w[None, :].sum() * w).sum(), 1.0
+        # reference l.191: neg = sim.mean(-1).mean() - pos_sim / P (the
+        # diagonal's share of the row means is removed)
+        neg_sim = (
+            ((sim * w[None, :]).sum(-1) * w).sum()
+            / jnp.maximum((w[None, :].sum() * w).sum(), 1.0)
+            - pos_sim / denom
         )
         logits = sim / self.nce_t + jnp.where(pair_valid, 0.0, -1e9)[None, :]
         logp = jax.nn.log_softmax(logits, axis=-1)
