@@ -80,8 +80,10 @@ def radix_sort_rows(
     """
     operands = [jnp.asarray(op) for op in operands]
     shape = operands[0].shape
-    if operands[0].ndim == 1:
-        operands = [op[None] for op in operands]
+    n = shape[-1]
+    # flatten all leading dims into one batch axis (lax.sort semantics:
+    # sort along the last dimension of arbitrarily-shaped operands)
+    operands = [op.reshape(-1, n) for op in operands]
     keys = [op.astype(jnp.uint32) for op in operands[:num_keys]]
     payloads = list(operands[num_keys:])
     n_passes = -(-key_bits // bits)
