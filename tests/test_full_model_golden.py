@@ -432,6 +432,93 @@ def test_lang_pretrainer_checkpoint_path(ref_ptv3):
     )
 
 
+def test_train_mode_batchnorm_matches_reference(ref_ptv3):
+    """TRAIN-mode forward: masked BatchNorm batch statistics (and the
+    updated running stats) must match torch BN over the packed buffer.
+    All dropout rates are zero in MINI, so train mode differs from eval
+    only in the normalization path."""
+    rng = np.random.default_rng(71)
+    coord, grid, feat = _make_scene(rng)
+    n = len(coord)
+    model = ref_ptv3.PointTransformerV3(
+        **MINI, enable_rpe=False, enable_flash=False,
+        upcast_attention=True, upcast_softmax=True,
+    )
+    model.train()
+    for m in model.modules():
+        if isinstance(m, ref_ptv3.SerializedPooling):
+            m.shuffle_orders = False
+    state0 = {k: v.detach().numpy().copy()
+              for k, v in model.state_dict().items()}
+    with torch.no_grad():
+        point = model(dict(
+            coord=torch.from_numpy(coord),
+            grid_coord=torch.from_numpy(grid).int(),
+            feat=torch.from_numpy(feat),
+            offset=torch.tensor([n]),
+            grid_size=torch.tensor(0.02),
+        ))
+    ref_feat = point.feat.numpy()
+    ref_stats = {k: v.detach().numpy().copy()
+                 for k, v in model.state_dict().items()
+                 if "running_" in k}
+
+    from scenesplat_tpu.models import PointBatch, build_model
+    from scenesplat_tpu.utils.ckpt_bridge import convert_ptv3_lang_checkpoint
+
+    ours_model = build_model(dict(
+        type="PT-v3m1", **MINI, upcast_softmax=True, use_pallas=False,
+        stage_capacity=(0.5,),
+    ))
+    pb = PointBatch(
+        coord=jnp.asarray(coord)[None], feat=jnp.asarray(feat)[None],
+        grid_coord=jnp.asarray(grid)[None], mask=jnp.ones((1, n), bool),
+    )
+    variables = ours_model.init(
+        {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
+        pb, train=False,
+    )
+    params, batch_stats, _ = convert_ptv3_lang_checkpoint(
+        state0, variables["params"], variables.get("batch_stats", {}),
+        backbone_prefix="", flax_backbone_key="",
+    )
+    out, updates = ours_model.apply(
+        {"params": params, "batch_stats": batch_stats}, pb, train=True,
+        rngs={"dropout": jax.random.PRNGKey(2),
+              "shuffle": jax.random.PRNGKey(3)},
+        mutable=["batch_stats"],
+    )
+    ours = np.asarray(out.feat[0], np.float32)
+    np.testing.assert_allclose(ours, ref_feat, rtol=2e-4, atol=2e-4)
+    # running stats after one train step agree (torch: (1-m)*run + m*batch
+    # with unbiased batch variance in the update — our MaskedBatchNorm
+    # mirrors that convention)
+    mapped, mapped_stats, _ = convert_ptv3_lang_checkpoint(
+        ref_stats | {}, jax.tree_util.tree_map(np.zeros_like, params),
+        jax.tree_util.tree_map(np.zeros_like, batch_stats),
+        backbone_prefix="", flax_backbone_key="",
+    )
+    flat_new = {
+        "/".join(str(p) for p in path): np.asarray(v)
+        for path, v in jax.tree_util.tree_flatten_with_path(
+            updates["batch_stats"])[0]
+    }
+    flat_ref = {
+        "/".join(str(p) for p in path): np.asarray(v)
+        for path, v in jax.tree_util.tree_flatten_with_path(mapped_stats)[0]
+    }
+    checked = 0
+    for key, ref_v in flat_ref.items():
+        if not np.any(ref_v):
+            continue  # leaf the partial state dict did not carry
+        np.testing.assert_allclose(
+            flat_new[key], ref_v, rtol=2e-4, atol=2e-4,
+            err_msg=f"running-stat mismatch at {key}",
+        )
+        checked += 1
+    assert checked >= 8  # every BN mean/var in the mini model
+
+
 def test_deep_forward_matches_reference(ref_ptv3):
     """3 stages, depth-2 blocks: exercises order round-robin (z-trans
     windows), two pooling levels, and the multi-block decoder."""
