@@ -456,32 +456,35 @@ class ElasticDistortion:
 
     @staticmethod
     def elastic_distortion(coords, granularity, magnitude):
+        """Smooth random warp (reference transform.py:1121-1170 semantics):
+        a coarse lattice of Gaussian noise — one node per ``granularity``
+        cube, two rounds of a separable 3-tap box blur — is trilinearly
+        interpolated at every point and added, scaled by ``magnitude``."""
         import scipy.ndimage
         import scipy.interpolate
 
-        blurs = [
-            np.ones((3, 1, 1, 1), np.float32) / 3,
-            np.ones((1, 3, 1, 1), np.float32) / 3,
-            np.ones((1, 1, 3, 1), np.float32) / 3,
-        ]
-        coords_min = coords.min(0)
-        noise_dim = ((coords - coords_min).max(0) // granularity).astype(int) + 3
-        noise = trng().standard_normal((*noise_dim, 3)).astype(np.float32)
+        lo = coords.min(0)
+        span = (coords - lo).max(0)
+        lattice_dim = (span // granularity).astype(int) + 3
+        lattice = trng().standard_normal((*lattice_dim, 3)).astype(np.float32)
+        tap3 = np.full(3, 1.0 / 3.0, np.float32)
         for _ in range(2):
-            for blur in blurs:
-                noise = scipy.ndimage.convolve(noise, blur, mode="constant", cval=0)
-        ax = [
-            np.linspace(d_min, d_max, d)
-            for d_min, d_max, d in zip(
-                coords_min - granularity,
-                coords_min + granularity * (noise_dim - 2),
-                noise_dim,
+            for axis in range(3):
+                lattice = scipy.ndimage.correlate1d(
+                    lattice, tap3, axis=axis, mode="constant", cval=0
+                )
+        node_axes = [
+            np.linspace(
+                lo[d] - granularity,
+                lo[d] + granularity * (lattice_dim[d] - 2),
+                lattice_dim[d],
             )
+            for d in range(3)
         ]
-        interp = scipy.interpolate.RegularGridInterpolator(
-            ax, noise, bounds_error=False, fill_value=0
+        warp = scipy.interpolate.RegularGridInterpolator(
+            node_axes, lattice, bounds_error=False, fill_value=0
         )
-        return coords + interp(coords) * magnitude
+        return coords + warp(coords) * magnitude
 
     def __call__(self, data_dict):
         if "coord" in data_dict and self.distortion_params is not None:
@@ -845,95 +848,127 @@ class GridSample:
         self.importance_sample_key = importance_sample_key
         self.apply_to_pc = apply_to_pc
 
+    def _displacement(self, scaled, cell, data_dict):
+        """Offset of each point from its cell center, in cell units
+        ([-0.5, 0.5); optionally projected onto the normal)."""
+        disp = scaled - cell - 0.5
+        if self.project_displacement:
+            disp = np.sum(disp * data_dict["normal"], axis=-1, keepdims=True)
+        return disp
+
     def __call__(self, data_dict):
         assert "coord" in data_dict
-        scaled_coord = data_dict["coord"] / np.array(self.grid_size)
-        grid_coord = np.floor(scaled_coord).astype(int)
-        min_coord = grid_coord.min(0)
-        grid_coord -= min_coord
-        scaled_coord -= min_coord
-        min_coord = min_coord * np.array(self.grid_size)
-        key = self.hash(grid_coord)
-        idx_sort = np.argsort(key)
-        key_sort = key[idx_sort]
-        _, inverse, count = np.unique(key_sort, return_inverse=True, return_counts=True)
+        scaled = data_dict["coord"] / np.asarray(self.grid_size)
+        cell = np.floor(scaled).astype(int)
+        origin = cell.min(0)
+        cell = cell - origin
+        scaled = scaled - origin
+        origin_world = origin * np.asarray(self.grid_size)
 
         if "pc_coord" in data_dict and self.apply_to_pc:
             self._sample_pc(data_dict)
 
-        if self.mode == "train":
-            if self.importance_sample_key is None and "sampled_index" not in data_dict:
-                # fast path: single-pass C++ voxel reservoir sampling
-                from scenesplat_tpu import native
+        if (
+            self.mode == "train"
+            and self.importance_sample_key is None
+            and "sampled_index" not in data_dict
+        ):
+            # fast path: single-pass C++ voxel reservoir sampling (skips the
+            # host sort below entirely)
+            from scenesplat_tpu import native
 
-                if native.available():
-                    idx_unique, cell = native.grid_sample_train(
-                        grid_coord, seed=int(trng().integers(0, 2**31 - 1))
-                    )
-                    if self.return_inverse:
-                        data_dict["inverse"] = cell
-                    if self.return_grid_coord:
-                        data_dict["grid_coord"] = grid_coord[idx_unique]
-                    if self.return_min_coord:
-                        data_dict["min_coord"] = min_coord.reshape([1, 3])
-                    if self.return_displacement:
-                        disp = scaled_coord - grid_coord - 0.5
-                        if self.project_displacement:
-                            disp = np.sum(
-                                disp * data_dict["normal"], axis=-1, keepdims=True
-                            )
-                        data_dict["displacement"] = disp[idx_unique]
-                    for k in self.keys:
-                        if k in data_dict:
-                            data_dict[k] = data_dict[k][idx_unique]
-                    return data_dict
+            if native.available():
+                picked, point_cell = native.grid_sample_train(
+                    cell, seed=int(trng().integers(0, 2**31 - 1))
+                )
+                if self.return_inverse:
+                    data_dict["inverse"] = point_cell
+                if self.return_grid_coord:
+                    data_dict["grid_coord"] = cell[picked]
+                if self.return_min_coord:
+                    data_dict["min_coord"] = origin_world.reshape([1, 3])
+                if self.return_displacement:
+                    data_dict["displacement"] = self._displacement(
+                        scaled, cell, data_dict
+                    )[picked]
+                for k in self.keys:
+                    if k in data_dict:
+                        data_dict[k] = data_dict[k][picked]
+                return data_dict
+
+        # Group points into cells: sort by hashed cell id, then mark the head
+        # of each run of equal keys. Tie order within a cell follows numpy's
+        # default introsort on the hash; test-mode fragment membership is
+        # pinned to it by the goldens, so the sort kind must stay the default.
+        n = cell.shape[0]
+        cell_hash = self.hash(cell)
+        order = np.argsort(cell_hash)
+        sorted_hash = cell_hash[order]
+        run_head = np.ones(n, dtype=bool)
+        run_head[1:] = sorted_hash[1:] != sorted_hash[:-1]
+        starts = np.flatnonzero(run_head)
+        sizes = np.diff(np.append(starts, n))
+
+        def point_to_cell():
+            # cell ordinal for every point, in original point order
+            out = np.empty(n, dtype=np.int64)
+            out[order] = np.cumsum(run_head) - 1
+            return out
+
+        if self.mode == "train":
             if self.importance_sample_key is None:
-                idx_select = (
-                    np.cumsum(np.insert(count, 0, 0)[0:-1])
-                    + trng().integers(0, count.max(), count.size) % count
-                )
-                idx_unique = idx_sort[idx_select]
+                jitter = trng().integers(0, sizes.max(), sizes.shape[0]) % sizes
+                picked = order[starts + jitter]
             else:
-                idx_unique = np.asarray(
-                    self._importance_sample(idx_sort, count, data_dict)
-                )
+                picked = self._importance_sample(order, starts, sizes, data_dict)
+            if "sampled_index" in data_dict:
+                # ScanNet data-efficient: force every labeled point into the
+                # sample, then re-express sampled_index in the new point
+                # numbering (reference transform.py:1273-1280)
+                labeled = data_dict["sampled_index"]
+                picked = np.unique(np.append(picked, labeled))
+                was_labeled = np.zeros(n, dtype=bool)
+                was_labeled[labeled] = True
+                data_dict["sampled_index"] = np.flatnonzero(was_labeled[picked])
             if self.return_inverse:
-                data_dict["inverse"] = np.zeros_like(inverse)
-                data_dict["inverse"][idx_sort] = inverse
+                data_dict["inverse"] = point_to_cell()
             if self.return_grid_coord:
-                data_dict["grid_coord"] = grid_coord[idx_unique]
+                data_dict["grid_coord"] = cell[picked]
             if self.return_min_coord:
-                data_dict["min_coord"] = min_coord.reshape([1, 3])
+                data_dict["min_coord"] = origin_world.reshape([1, 3])
             if self.return_displacement:
-                disp = scaled_coord - grid_coord - 0.5
-                if self.project_displacement:
-                    disp = np.sum(disp * data_dict["normal"], axis=-1, keepdims=True)
-                data_dict["displacement"] = disp[idx_unique]
+                data_dict["displacement"] = self._displacement(
+                    scaled, cell, data_dict
+                )[picked]
             for k in self.keys:
                 if k in data_dict:
-                    data_dict[k] = data_dict[k][idx_unique]
+                    data_dict[k] = data_dict[k][picked]
             return data_dict
 
-        # test mode: complementary fragments
-        data_part_list = []
-        for i in range(count.max()):
-            idx_select = np.cumsum(np.insert(count, 0, 0)[0:-1]) + i % count
-            idx_part = idx_sort[idx_select]
-            data_part = dict(index=idx_part)
+        # test mode: sizes.max() complementary fragments; fragment p takes the
+        # (p mod size)-th member of every cell, so each covers every occupied
+        # cell exactly once (reference transform.py:1302-1330)
+        fragments = []
+        for p in range(sizes.max()):
+            member = order[starts + p % sizes]
+            frag = dict(index=member)
             if self.return_inverse:
-                data_dict["inverse"] = np.zeros_like(inverse)
-                data_dict["inverse"][idx_sort] = inverse
+                data_dict["inverse"] = point_to_cell()
             if self.return_grid_coord:
-                data_part["grid_coord"] = grid_coord[idx_part]
+                frag["grid_coord"] = cell[member]
             if self.return_min_coord:
-                data_part["min_coord"] = min_coord.reshape([1, 3])
+                frag["min_coord"] = origin_world.reshape([1, 3])
+            if self.return_displacement:
+                data_dict["displacement"] = self._displacement(
+                    scaled, cell, data_dict
+                )[member]
             for k in data_dict.keys():
                 if k in self.keys:
-                    data_part[k] = data_dict[k][idx_part]
+                    frag[k] = data_dict[k][member]
                 else:
-                    data_part[k] = data_dict[k]
-            data_part_list.append(data_part)
-        return data_part_list
+                    frag[k] = data_dict[k]
+            fragments.append(frag)
+        return fragments
 
     def _sample_pc(self, data_dict):
         """Subsample the full-res point cloud, preferring labeled points per
@@ -962,8 +997,13 @@ class GridSample:
         if "pc_segment" in data_dict:
             data_dict["pc_segment"] = data_dict["pc_segment"][chosen]
 
-    def _importance_sample(self, idx_sort, count, data_dict):
-        """Pick the highest-importance point per cell (reference l.1334-1380)."""
+    def _importance_sample(self, order, starts, sizes, data_dict):
+        """Pick the highest-importance point per cell (reference l.1334-1380).
+
+        Vectorized per-run argmax: reduceat gives each cell's max, then the
+        first sorted position attaining it wins — the same point the
+        reference's per-cell ``argmax`` loop selects (first occurrence in
+        cell-sorted order)."""
         keys = (
             self.importance_sample_key
             if isinstance(self.importance_sample_key, tuple)
@@ -979,9 +1019,12 @@ class GridSample:
             else:
                 attr = data_dict[subkey]
             importance = attr if importance is None else importance * attr
-        grid_splits = np.cumsum(count[:-1])
-        grids = np.split(idx_sort, grid_splits)
-        return [g[importance[g].argmax()] for g in grids]
+        imp = np.asarray(importance, dtype=np.float64)[order]
+        cell_max = np.maximum.reduceat(imp, starts)
+        hit = imp == np.repeat(cell_max, sizes)
+        pos = np.arange(imp.shape[0])
+        first_hit = np.minimum.reduceat(np.where(hit, pos, imp.shape[0]), starts)
+        return order[first_hit]
 
 
 @TRANSFORMS.register_module()

@@ -212,6 +212,48 @@ def test_grid_sample_importance_golden(rng):
     assert ref_set == our_set
 
 
+def test_grid_sample_sampled_index_golden(rng):
+    # ScanNet data-efficient: labeled points are always kept, and
+    # sampled_index is re-expressed in the surviving point numbering
+    # (reference transform.py:1273-1280). Importance sampling makes the
+    # per-cell pick deterministic so both sides select identical points.
+    n = 800
+    d = scene(rng, n=n)
+    d["sampled_index"] = np.sort(
+        rng.choice(n, size=40, replace=False)
+    ).astype(np.int64)
+    gs_keys = ("coord", "color", "segment")
+    kw = dict(grid_size=0.8, mode="train", keys=gs_keys,
+              return_grid_coord=True, importance_sample_key=("opacity",))
+    d["opacity"] = rng.uniform(0, 1, (n,)).astype(np.float32)
+    ref_out = _REF.GridSample(**kw)(copy.deepcopy(d))
+    our_out = ours.GridSample(**kw)(copy.deepcopy(d))
+    np.testing.assert_allclose(our_out["coord"], ref_out["coord"],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(our_out["sampled_index"],
+                                  ref_out["sampled_index"])
+    # the labeled points really survived
+    np.testing.assert_allclose(
+        our_out["coord"][our_out["sampled_index"]],
+        d["coord"][d["sampled_index"]], rtol=1e-6, atol=1e-6)
+
+
+def test_grid_sample_test_mode_displacement_golden(rng):
+    d = scene(rng, n=400)
+    d["normal"] = rng.normal(size=(400, 3)).astype(np.float32)
+    gs_keys = ("coord", "color")
+    kw = dict(grid_size=0.8, mode="test", keys=gs_keys,
+              return_displacement=True, project_displacement=True)
+    ref_frags = _REF.GridSample(**kw)(copy.deepcopy(d))
+    our_frags = ours.GridSample(**kw)(copy.deepcopy(d))
+    assert len(our_frags) == len(ref_frags)
+    for rf, of in zip(ref_frags, our_frags):
+        np.testing.assert_array_equal(of["index"], rf["index"])
+        np.testing.assert_allclose(
+            np.asarray(of["displacement"]), np.asarray(rf["displacement"]),
+            rtol=1e-5, atol=1e-6)
+
+
 def test_grid_sample_train_mode_structure_golden(rng):
     # train mode picks a random point per voxel — the picked points differ
     # by RNG, but the voxel partition must be identical: compare the SET of
