@@ -21,14 +21,15 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def default_buckets(patch_size: int, lo: int = 8192,
+def default_buckets(patch_size: int, lo: Optional[int] = None,
                     hi: int = 524288) -> list:
-    """Powers of two plus midpoints (8k, 12k, 16k, 24k, ...), each rounded up
+    """Powers of two plus midpoints (1k, 1.5k, 2k, 3k, ...), each rounded up
     to a ``patch_size`` multiple. Bounds eval compiles at O(log N) programs
     (instead of one per distinct scene size) at a worst-case 33% padding
-    overhead."""
+    overhead. The ladder starts at max(1024, patch_size) so small
+    scenes/fragments aren't padded to a distant floor."""
     out = set()
-    n = lo
+    n = max(1024, patch_size) if lo is None else lo
     while n <= hi:
         for v in (n, n * 3 // 2):
             out.add(_round_up(max(v, patch_size), patch_size))

@@ -38,7 +38,7 @@ TESTERS = Registry("testers")
 
 class TesterBase:
     def __init__(self, model, variables, dataset_cfg, patch_size=1024,
-                 verbose=False, seed=0):
+                 verbose=False, seed=0, weights_fingerprint=None):
         self.model = model
         self.variables = variables
         self.dataset = build_dataset(dict(dataset_cfg))
@@ -46,6 +46,41 @@ class TesterBase:
         self.logger = get_root_logger()
         self.verbose = verbose
         self.seed = int(seed)  # transform-RNG seed for scene fetches
+        # identifies the weights that produced any cached *_pred.npy at
+        # save_path; a mismatch invalidates the resume cache
+        self.weights_fingerprint = weights_fingerprint
+
+    def _pred_cache_usable(self, save_path) -> bool:
+        """True if cached predictions at ``save_path`` may be reused.
+
+        Cached *_pred.npy files carry no provenance of their own, so a
+        sidecar records the weights fingerprint; rerunning with different
+        weights at the same save_path invalidates (and re-stamps) the cache
+        instead of silently reporting stale predictions."""
+        if not save_path:
+            return False
+        os.makedirs(save_path, exist_ok=True)
+        sidecar = os.path.join(save_path, "pred_cache_weights.txt")
+        fp = getattr(self, "weights_fingerprint", None)
+        if not fp:
+            self.logger.warning(
+                "no weights fingerprint available: cached *_pred.npy at "
+                f"{save_path} (if any) will be reused unverified"
+            )
+            return True
+        prior = None
+        if os.path.isfile(sidecar):
+            with open(sidecar) as f:
+                prior = f.read().strip()
+        with open(sidecar, "w") as f:
+            f.write(fp + "\n")
+        if prior is not None and prior != fp:
+            self.logger.warning(
+                f"{save_path} holds predictions from different weights "
+                f"({prior} != {fp}); ignoring cached *_pred.npy"
+            )
+            return False
+        return True
 
 
 @TESTERS.register_module()
@@ -97,6 +132,8 @@ class ZeroShotSemSegTester(TesterBase):
         n_scenes = len(self.dataset)
         if self.max_scenes:
             n_scenes = min(n_scenes, self.max_scenes)
+        cache_usable = self._pred_cache_usable(self.save_path)
+        cache_hits = 0
         # multi-host: each process evaluates its round-robin scene shard;
         # accumulators are allreduced before reporting (reference
         # test.py:549-666 record gather)
@@ -115,11 +152,13 @@ class ZeroShotSemSegTester(TesterBase):
             )
             if (
                 pred_save_path
+                and cache_usable
                 and os.path.isfile(pred_save_path)
                 and not self.save_feat
                 and "pc_coord" not in scene
             ):
                 self.logger.info(f"{name}: loaded existing pred")
+                cache_hits += 1
                 pred_eval = np.load(pred_save_path)
                 if pred_eval.ndim > 1:
                     pred_eval = pred_eval[:, 0]  # saved top-3 (reference l.288)
@@ -239,6 +278,11 @@ class ZeroShotSemSegTester(TesterBase):
                     f"mIoU {scene_iou.mean() if scene_iou.size else 0.0:.4f} "
                     f"({run_iou.mean() if run_iou.size else 0.0:.4f})"
                 )
+        if cache_hits:
+            self.logger.warning(
+                f"{cache_hits} scene(s) reported from cached predictions at "
+                f"{self.save_path} (delete *_pred.npy to force recompute)"
+            )
         # merge per-scene records from every rank (reference test.py:549-560
         # comm.gather) and recompute the totals from the merged record
         all_records = allgather_pyobjects(list(record.items()))
@@ -590,7 +634,7 @@ def _write_submission(save_path, name, pred, dataset_type, class2id=None,
 
 
 def build_tester(cfg, model, variables, dataset_cfg, patch_size=1024,
-                 seed=0):
+                 seed=0, weights_fingerprint=None):
     cfg = dict(cfg)
     return TESTERS.build(
         cfg,
@@ -599,4 +643,5 @@ def build_tester(cfg, model, variables, dataset_cfg, patch_size=1024,
         dataset_cfg=dataset_cfg,
         patch_size=patch_size,
         seed=seed,
+        weights_fingerprint=weights_fingerprint,
     )

@@ -55,9 +55,11 @@ def allgather_pyobjects(objs: list) -> list:
 
     from jax.experimental import multihost_utils
 
+    # int32 explicitly: with jax_enable_x64 off, process_allgather would
+    # silently downcast int64 anyway; payload sizes always fit.
     payload = np.frombuffer(pickle.dumps(list(objs)), np.uint8)
     lengths = multihost_utils.process_allgather(
-        np.asarray([payload.size], np.int64)
+        np.asarray([payload.size], np.int32)
     ).reshape(-1)
     buf = np.zeros(int(lengths.max()), np.uint8)
     buf[: payload.size] = payload
@@ -74,11 +76,13 @@ def allreduce_sum_arrays(tree):
     summed values (reference evaluator.py:845-851 dist.all_reduce)."""
     if jax.process_count() == 1:
         return tree
-    from jax.experimental import multihost_utils
-
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    stacked = multihost_utils.process_allgather(
-        [np.asarray(leaf, np.float64) for leaf in leaves]
-    )
-    summed = [np.asarray(g).sum(axis=0) for g in stacked]
+    # Gather through the pickled path: lossless for every dtype (a
+    # device-array allgather would downcast int64/float64 accumulators with
+    # jax_enable_x64 off, losing exactness above 2^24 counts), and the
+    # rank-ordered summation makes every host compute bit-identical sums.
+    per_rank = allgather_pyobjects([[np.asarray(leaf) for leaf in leaves]])
+    summed = list(per_rank[0])
+    for rank_leaves in per_rank[1:]:
+        summed = [a + b for a, b in zip(summed, rank_leaves)]
     return jax.tree_util.tree_unflatten(treedef, summed)

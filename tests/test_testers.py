@@ -200,3 +200,43 @@ def test_zero_shot_pred_cache_resume(tmp_path):
     r2 = make().test()
     assert len(calls) == 1  # no new inference
     assert np.isclose(r1["mIoU"], r2["mIoU"])
+
+
+def test_zero_shot_pred_cache_weights_fingerprint(tmp_path):
+    """Cached predictions are invalidated when the weights fingerprint
+    changes, and reused when it matches."""
+    n, c, d = 48, 4, 8
+    rng = np.random.default_rng(9)
+    text = rng.normal(size=(c, d)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    seg = rng.integers(0, c, size=n).astype(np.int32)
+    feat = text[seg] + rng.normal(0, 0.05, (n, d)).astype(np.float32)
+    calls = []
+
+    class Ext(_StubExtractor):
+        def __call__(self, variables, sample):
+            calls.append(1)
+            return super().__call__(variables, sample)
+
+    def make(fp):
+        scene = dict(name="sc", segment=seg, coord=rng.normal(size=(n, 3)),
+                     fragment_list=[dict(_id=0, index=np.arange(n))])
+        return _make_tester(
+            "ZeroShotSemSegTester", [scene], Ext({0: feat}),
+            class_names=[f"c{i}" for i in range(c)], text_emb=text,
+            excluded_classes=(), enable_voting=False, vote_k=3,
+            confidence_threshold=0.0, ignore_index=-1,
+            pred_label_mapping=None, top3=False, save_feat=False,
+            skip_eval=False, save_path=str(tmp_path),
+            save_submission=False, max_scenes=None, verbose=False,
+            weights_fingerprint=fp,
+        )
+
+    make("ckptA:1").test()
+    assert len(calls) == 1
+    make("ckptA:1").test()
+    assert len(calls) == 1  # same weights: cache reused
+    make("ckptB:2").test()
+    assert len(calls) == 2  # different weights: cache invalidated
+    make("ckptB:2").test()
+    assert len(calls) == 2  # re-stamped sidecar: cache valid again

@@ -99,9 +99,17 @@ def main():
     data_cfgs = cfg.data.get("test")
     test_cfgs = test_cfgs if isinstance(test_cfgs, (list, tuple)) else [test_cfgs]
     data_cfgs = data_cfgs if isinstance(data_cfgs, (list, tuple)) else [data_cfgs]
+    fingerprint = None
+    if weight:
+        try:
+            st = os.stat(weight)
+            fingerprint = f"{os.path.abspath(weight)}:{int(st.st_mtime)}"
+        except OSError:
+            fingerprint = os.path.abspath(str(weight))
     for tc, dc in zip(test_cfgs, data_cfgs):
         tester = build_tester(tc, model, variables, dc, patch_size=patch,
-                              seed=cfg.get("seed", 0))
+                              seed=cfg.get("seed", 0),
+                              weights_fingerprint=fingerprint)
         tester.test()
 
 
