@@ -69,9 +69,8 @@ def _point_from(batch, prefix):
     )
 
 
-def make_ssl_train_step(
+def make_ssl_loss_fn(
     model: SimDINOSSL,
-    tx: optax.GradientTransformation,
     local_crop_num: int = 3,
     do_ema: bool = True,
     do_ibot: bool = True,
@@ -84,6 +83,12 @@ def make_ssl_train_step(
     mask_ratio_min_max=(0.1, 0.5),
     mask_sample_probability: float = 0.5,
 ) -> Callable:
+    """Composed SimDINO loss (reference simdinov2.py:368-533): 2 masked
+    global student passes + ``local_crop_num`` unmasked local passes +
+    2 unmasked teacher passes -> MCR(dino) + cosine-patch(ibot) [+ mae].
+    Standalone so parity tests can evaluate loss values without an
+    optimizer step."""
+
     def run_backbone(params, batch_stats, point, token_mask, rngs):
         variables = {"params": params, "batch_stats": batch_stats}
         (dec, enc_feat, enc_mask), updates = model.apply(
@@ -105,14 +110,25 @@ def make_ssl_train_step(
         locals_ = [
             _point_from(batch, f"local_crop{i}") for i in range(local_crop_num)
         ]
-        tm0, w0 = generate_token_masks(
-            keys[0], g0.coord, g0.mask, mask_type, mask_grid_size,
-            mask_ratio_min_max, mask_sample_probability,
-        )
-        tm1, w1 = generate_token_masks(
-            keys[1], g1.coord, g1.mask, mask_type, mask_grid_size,
-            mask_ratio_min_max, mask_sample_probability,
-        )
+        # injectable masks: a batch may carry precomputed token masks and
+        # weights (determinism tests / golden parity vs the reference's
+        # torch-RNG mask generator); otherwise generate on-device
+        if "global_crop0_token_mask" in batch:
+            tm0 = batch["global_crop0_token_mask"]
+            w0 = batch["global_crop0_mask_weight"]
+        else:
+            tm0, w0 = generate_token_masks(
+                keys[0], g0.coord, g0.mask, mask_type, mask_grid_size,
+                mask_ratio_min_max, mask_sample_probability,
+            )
+        if "global_crop1_token_mask" in batch:
+            tm1 = batch["global_crop1_token_mask"]
+            w1 = batch["global_crop1_mask_weight"]
+        else:
+            tm1, w1 = generate_token_masks(
+                keys[1], g1.coord, g1.mask, mask_type, mask_grid_size,
+                mask_ratio_min_max, mask_sample_probability,
+            )
 
         def rngs_at(i):
             return {"dropout": keys[2 + 2 * i], "shuffle": keys[3 + 2 * i]}
@@ -183,6 +199,16 @@ def make_ssl_train_step(
 
         metrics["loss"] = loss
         return loss, (bs, teacher_stats, metrics)
+
+    return loss_fn
+
+
+def make_ssl_train_step(
+    model: SimDINOSSL,
+    tx: optax.GradientTransformation,
+    **loss_kwargs,
+) -> Callable:
+    loss_fn = make_ssl_loss_fn(model, **loss_kwargs)
 
     def train_step(state: SSLTrainState, batch, momentum: jnp.ndarray):
         rng = jax.random.fold_in(state.rng, state.step)

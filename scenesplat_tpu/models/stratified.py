@@ -305,10 +305,13 @@ class StratifiedTransformer(nn.Module):
         state = PointsState(coord=point.coord, mask=point.mask)
         feat = point.feat.astype(self.dtype)
 
-        # KPConv stem over ball-query neighborhoods (reference l.698-716)
+        # KPConv stem over ball-query neighborhoods (reference l.698-716);
+        # torch_points_kernels partial_dense pads short rows with -1 shadow
+        # neighbors — repeating a real neighbor would double-count it in the
+        # KPConv influence sum
         nidx, _ = po.ball_query(
             state.coord, state.mask, self.kp_max_neighbor, self.kp_ball_radius,
-            tile=self.knn_tile,
+            tile=self.knn_tile, pad_mode="shadow",
         )
         x = KPConv(self.in_channels, self.channels[0],
                    point_influence=self.kp_sigma_radius, dtype=self.dtype,
@@ -335,7 +338,10 @@ class StratifiedTransformer(nn.Module):
 
         def transition_down(feat, state, cin, cout, name):
             n = state.mask.shape[-1]
-            m = max(16, int(n * self.down_ratio))
+            # per-sample count is int(n_valid * ratio) + 1 (reference
+            # TransitionDown.forward, l.465-472) — capacity must cover the
+            # fully-valid case
+            m = int(n * self.down_ratio) + 1
             idx, smask = po.farthest_point_sampling(state.coord, state.mask, m)
             n_valid = jnp.sum(state.mask, axis=1).astype(jnp.int32)
             n_new = jnp.maximum(
@@ -369,11 +375,21 @@ class StratifiedTransformer(nn.Module):
             big = jnp.asarray(1e10, state.coord.dtype)
             cmin = jnp.min(jnp.where(state.mask[..., None], state.coord, big),
                            axis=1, keepdims=True)
-            # FPS downsample set for stratified keys (reference l.361-366)
-            m_ds = max(16, int(state.mask.shape[-1] * self.down_ratio))
+            # FPS downsample set for stratified keys (reference l.355-366):
+            # int(n_valid * ratio) + 1 picks per sample
+            m_ds = int(state.mask.shape[-1] * self.down_ratio) + 1
             ds_idx, _ = po.farthest_point_sampling(state.coord, state.mask, m_ds)
+            nv = jnp.sum(state.mask, axis=1).astype(jnp.int32)
+            n_keys = jnp.minimum(
+                (nv.astype(jnp.float32) * self.down_ratio).astype(jnp.int32) + 1,
+                m_ds,
+            )
+            pick_ok = (jax.lax.broadcasted_iota(jnp.int32, ds_idx.shape, 1)
+                       < n_keys[:, None])
             ds = jnp.zeros(state.mask.shape, bool)
-            ds = jax.vmap(lambda d, i: d.at[i].set(True))(ds, ds_idx)
+            ds = jax.vmap(
+                lambda d, i, ok: d.at[i].max(ok)
+            )(ds, ds_idx, pick_ok)
             ds = ds & state.mask
 
             tables = {}

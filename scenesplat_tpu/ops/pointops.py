@@ -108,6 +108,7 @@ def _priority_ball_query(
     query: Optional[jnp.ndarray],
     query_mask: Optional[jnp.ndarray],
     tile: int,
+    pad_mode: str = "first",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if query is None:
         query, query_mask = coord, mask
@@ -142,6 +143,11 @@ def _priority_ball_query(
         found = jnp.pad(found, pad_k, constant_values=False)
         d2 = jnp.pad(d2, pad_k, constant_values=_BIG)
     found = found & query_mask[..., None]
+    if pad_mode == "shadow":
+        # torch_points_kernels partial_dense convention: unfound slots are -1
+        idx = jnp.where(found, idx, -1)
+        d2 = jnp.where(found, d2, _BIG)
+        return idx, d2
     # reference CUDA fills unfound slots with the first found neighbor
     first = idx[..., :1]
     idx = jnp.where(found, idx, jnp.where(found[..., :1], first, -1))
@@ -158,14 +164,21 @@ def ball_query(
     query: Optional[jnp.ndarray] = None,
     query_mask: Optional[jnp.ndarray] = None,
     tile: int = 512,
+    pad_mode: str = "first",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Radius query keeping the lowest-index nsample points in [min, max]
     radius (reference pointops.ball_query, query.py:70-113). Returns
-    (idx [B, M, S] int32, dist2 [B, M, S])."""
+    (idx [B, M, S] int32, dist2 [B, M, S]).
+
+    pad_mode: "first" repeats the first found neighbor into unfound slots
+    (reference pointops CUDA convention); "shadow" leaves them -1
+    (torch_points_kernels partial_dense convention — consumers like KPConv
+    must treat -1 as a zero-contribution shadow neighbor)."""
     n = coord.shape[1]
     prio = -jax.lax.broadcasted_iota(jnp.float32, coord.shape[:2], 1)
     return _priority_ball_query(
-        coord, mask, nsample, max_radius, min_radius, prio, query, query_mask, tile
+        coord, mask, nsample, max_radius, min_radius, prio, query, query_mask,
+        tile, pad_mode,
     )
 
 

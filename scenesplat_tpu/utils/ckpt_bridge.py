@@ -1292,6 +1292,152 @@ def convert_ppt_v1m2_checkpoint(
     return params, batch_stats, report
 
 
+def convert_stratified_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    backbone_prefix: str = "backbone.",
+):
+    """Fill flax ST-v1m2 params/batch_stats from a reference
+    StratifiedTransformer state dict
+    (stratified_transformer_v1m2_refine.py:593-760 key layout).
+
+    torch -> flax:
+      point_embed.0.kpconv / .bn        -> embed0_kpconv / embed0_bn
+      point_embed.1.unary_{1,2}.{0,1}   -> embed1_unary{1,2} / embed1_bn{1,2}
+      point_embed.1.kpconv              -> embed1_kpconv
+      down.norm|linear                  -> stem_down_norm|stem_down_fc
+      layers.{i}.blocks.{j}.*           -> layer{i}_block{j}/*
+      layers.{i}.down.norm|linear       -> layer{i}_down_norm|fc
+      up.{j}.linear1.{0,1}              -> up{L-2-j}_norm1|fc1 (stem: up_stem_*)
+      up.{j}.linear2.{0,1}              -> up{...}_norm2|fc2
+      classifier.{0,1,3}                -> cls_fc1|cls_bn|cls_fc2
+    KPConv kernels are [P, Cin, Cout] on both sides (direct copy); the
+    non-trainable K_points dispositions transfer only if the shapes agree
+    (torch_points3d's Lloyd layout vs this framework's Fibonacci layout is a
+    config-level difference — see models/stratified.py docstring).
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        full = backbone_prefix + key
+        if full in torch_state:
+            used.add(full)
+            return torch_state[full]
+        return None
+
+    def put_dense(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        _assign(params, fpath + ("kernel",), w.T, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    def put_ln(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is None:
+            return
+        _assign(params, fpath + ("scale",), w, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    def put_bn(tkey, fpath):
+        for suffix, tree, leaf in (
+            (".weight", params, "scale"), (".bias", params, "bias"),
+            (".running_mean", batch_stats, "mean"),
+            (".running_var", batch_stats, "var"),
+        ):
+            w = torch_get(tkey + suffix)
+            if w is not None:
+                _assign(tree, fpath + ("norm", leaf), w, filled)
+        torch_get(tkey + ".num_batches_tracked")
+
+    def put_kpconv(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is not None:
+            _assign(params, fpath + ("kernel",), w, filled)
+        torch_get(tkey + ".K_points")  # constant disposition, not a weight
+
+    # stem
+    put_kpconv("point_embed.0.kpconv", ("embed0_kpconv",))
+    put_bn("point_embed.0.bn.batch_norm", ("embed0_bn",))
+    put_dense("point_embed.1.unary_1.0", ("embed1_unary1",))
+    put_bn("point_embed.1.unary_1.1.batch_norm", ("embed1_bn1",))
+    put_kpconv("point_embed.1.kpconv", ("embed1_kpconv",))
+    put_dense("point_embed.1.unary_2.0", ("embed1_unary2",))
+    put_bn("point_embed.1.unary_2.1.batch_norm", ("embed1_bn2",))
+    # KPConvResBlock declares self.bn but its forward never applies it
+    # (reference l.567-591); consume the dead keys so reports stay clean
+    put_bn("point_embed.1.bn.batch_norm", ("embed1_dead_bn",))
+    put_ln("down.norm", ("stem_down_norm",))
+    put_dense("down.linear", ("stem_down_fc",))
+
+    # encoder stages
+    for name in list(params.keys()):
+        m = re.fullmatch(r"layer(\d+)_block(\d+)", name)
+        if m:
+            i, j = m.group(1), m.group(2)
+            t = f"layers.{i}.blocks.{j}"
+            put_ln(f"{t}.norm1", (name, "norm1"))
+            put_ln(f"{t}.norm2", (name, "norm2"))
+            put_dense(f"{t}.attn.qkv", (name, "attn", "qkv"))
+            put_dense(f"{t}.attn.proj", (name, "attn", "proj"))
+            for tbl in ("relative_pos_query_table", "relative_pos_key_table",
+                        "relative_pos_value_table"):
+                w = torch_get(f"{t}.attn.{tbl}")
+                if w is not None:
+                    _assign(params, (name, "attn", tbl), w, filled)
+            put_dense(f"{t}.mlp.fc1", (name, "mlp_fc1"))
+            put_dense(f"{t}.mlp.fc2", (name, "mlp_fc2"))
+            continue
+        m = re.fullmatch(r"layer(\d+)_down_norm", name)
+        if m:
+            put_ln(f"layers.{m.group(1)}.down.norm", (name,))
+            continue
+        m = re.fullmatch(r"layer(\d+)_down_fc", name)
+        if m:
+            put_dense(f"layers.{m.group(1)}.down.linear", (name,))
+            continue
+
+    # decoder TransitionUps: reference up.{j} for j in 0..L-2 covers
+    # channels[L-1-j+1] -> channels[L-1-j]; our up{li} uses li = L-2-j
+    num_layers = len([k for k in params if re.fullmatch(r"layer(\d+)_block0", k)])
+    for j in range(max(num_layers - 1, 0)):
+        li = num_layers - 2 - j
+        put_ln(f"up.{j}.linear1.0", (f"up{li}_norm1",))
+        put_dense(f"up.{j}.linear1.1", (f"up{li}_fc1",))
+        put_ln(f"up.{j}.linear2.0", (f"up{li}_norm2",))
+        put_dense(f"up.{j}.linear2.1", (f"up{li}_fc2",))
+    if "up_stem_norm1" in params:
+        j = num_layers - 1
+        put_ln(f"up.{j}.linear1.0", ("up_stem_norm1",))
+        put_dense(f"up.{j}.linear1.1", ("up_stem_fc1",))
+        put_ln(f"up.{j}.linear2.0", ("up_stem_norm2",))
+        put_dense(f"up.{j}.linear2.1", ("up_stem_fc2",))
+
+    put_dense("classifier.0", ("cls_fc1",))
+    put_bn("classifier.1", ("cls_bn",))
+    put_dense("classifier.3", ("cls_fc2",))
+
+    report = {
+        "unused_torch_keys": sorted(k for k in torch_state if k not in used),
+        "filled_leaves": len(filled),
+    }
+    return params, batch_stats, report
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:
@@ -1310,7 +1456,10 @@ def _assign(tree, path, value, filled):
     leaf = node.get(path[-1])
     if leaf is None:
         return
-    value = np.asarray(value, dtype=leaf.dtype)
+    # copy: torch state-dict values arrive as numpy VIEWS of live tensor
+    # storage — without the copy, later in-place torch updates (e.g. EMA
+    # teacher momentum) silently mutate the bridged tree
+    value = np.array(value, dtype=leaf.dtype)
     if leaf.shape != value.shape:
         # shape-mismatch skipping, like the reference CheckpointLoader
         return

@@ -363,16 +363,27 @@ def _knn_query_and_group(feat, xyz, offset=None, new_xyz=None,
 
 
 def _voxel_grid(pos, size, batch=None, start=None, end=None):
-    """torch_geometric voxel_grid as PTv2 GridPool uses it
-    (point_transformer_v2m2_base.py:256): injective int64 cluster ids,
-    monotone in batch — only the equivalence classes and the per-batch
-    grouping of sorted ids are semantically load-bearing."""
+    """torch_geometric voxel_grid (both signatures): injective int64 cluster
+    ids, monotone in (batch, cell) — only the equivalence classes and the
+    per-batch grouping of sorted ids are semantically load-bearing.
+    start=None anchors at the global per-axis minimum (torch_geometric
+    semantics). Old-style positional calls (pos, batch, size) — as the
+    stratified transformer makes (v1m2_refine.py:56) — are detected by the
+    integer batch tensor landing in the ``size`` slot."""
+    if (torch.is_tensor(size) and not size.dtype.is_floating_point
+            and size.numel() == len(pos)):
+        size, batch = batch, size  # legacy (pos, batch, size) order
     p = pos.detach().cpu().numpy().astype(np.float64)
-    if start is not None and not np.isscalar(start):
-        p = p - np.asarray(start)
-    elif start:
-        p = p - start
-    c = np.floor(p / float(size)).astype(np.int64)
+    sz = (size.detach().cpu().numpy() if torch.is_tensor(size)
+          else np.asarray(size, np.float64))
+    sz = np.broadcast_to(np.asarray(sz, np.float64).reshape(-1), (3,))
+    if start is None:
+        anchor = p.min(0)
+    else:
+        a = (start.detach().cpu().numpy() if torch.is_tensor(start)
+             else np.asarray(start, np.float64))
+        anchor = np.broadcast_to(np.asarray(a, np.float64).reshape(-1), (3,))
+    c = np.floor((p - anchor) / sz).astype(np.int64)
     c -= c.min(0)
     dims = c.max(0) + 1
     b = (np.zeros(len(c), np.int64) if batch is None
