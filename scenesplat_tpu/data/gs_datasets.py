@@ -117,13 +117,18 @@ class Matterport3DGSDataset(_GSDatasetBase):
 
 @DATASETS.register_module()
 class Matterport3D_160_GSDataset(Matterport3DGSDataset):
+    # "segment_nyu_160" is the reference preprocessor's on-disk name
+    # (preprocess_matterport3d_gs.py:291, matterport3dgs.py:102-105);
+    # "segment160" is accepted as a shorthand alias
     VALID_ASSETS = [
-        "coord", "color", "normal", "segment160", "segment", "instance", "quat",
-        "scale", "opacity", "lang_feat", "valid_feat_mask",
+        "coord", "color", "normal", "segment160", "segment_nyu_160", "segment",
+        "instance", "quat", "scale", "opacity", "lang_feat", "valid_feat_mask",
     ]
-    EVAL_PC_ASSETS = ["pc_coord", "pc_segment160", "pc_segment"]
-    SEGMENT_KEYS = ("segment160", "segment")
-    PC_SEGMENT_KEYS = ("pc_segment160", "pc_segment")
+    EVAL_PC_ASSETS = [
+        "pc_coord", "pc_segment160", "pc_segment_nyu_160", "pc_segment",
+    ]
+    SEGMENT_KEYS = ("segment160", "segment_nyu_160", "segment")
+    PC_SEGMENT_KEYS = ("pc_segment160", "pc_segment_nyu_160", "pc_segment")
 
 
 @DATASETS.register_module()

@@ -3,23 +3,34 @@
 One parameterized tool covering the reference's five dataset-specific
 converters (pointcept/datasets/preprocessing/{scannet,scannetpp,matterport3d,
 holicity,kitti360}/preprocess_*_gs.py) — they share a pipeline and differ
-only in layout/label conventions, captured here as per-dataset specs:
+only in layout/label/pruning conventions, captured here as per-dataset specs:
 
   1. read the trained 3DGS ply (sigmoid(opacity), exp(scale), normalized
      sign-fixed wxyz quat, SH-DC -> RGB; scripts/preprocess_gs.py).
-  2. 1-NN-transfer semantic (and optionally instance) labels from the
-     dataset's fused point cloud onto the Gaussians, using the native
-     grid-hash kNN (scenesplat_tpu/native) with a distance cutoff.
-  3. optionally attach per-Gaussian language features (+valid_feat_mask)
-     from a SigLIP2 feature dump (fp16), as scripts/encode_labels.py does
-     for text.
-  4. save per-scene .npy assets in the layout data/gs_datasets.py expects,
-     plus pc_coord/pc_segment pass-throughs for eval splits.
+  2. optionally prune gaussians outside the fused cloud's oriented bounding
+     box, enlarged per dataset (reference preprocess_scannet_gs.py:236-311
+     +0.25 m, preprocess_scannetpp_gs.py:236-262 +0.2 m; matterport/
+     holicity/kitti360 disable pruning). The reference uses open3d's
+     minimal OBB; without open3d this uses the PCA OBB of the cloud — a
+     slightly looser box, i.e. it never prunes a gaussian open3d would keep.
+  3. 1-NN-transfer labels AND normals from the dataset's fused point cloud
+     onto the Gaussians (reference KDTree(pc).query(gs, k=1) — note the
+     reference applies NO distance cutoff; --max-dist adds one optionally).
+  4. optionally attach per-Gaussian language features (+valid_feat_mask)
+     from a SigLIP2 feature dump (fp16), as the reference reads
+     langfeat.pth (preprocess_scannet_gs.py:270-283).
+  5. save per-scene .npy assets in the reference's on-disk layout
+     (scannet: segment20/segment200/instance int16; scannetpp:
+     segment/instance; matterport3d: segment/segment_nyu_160; holicity/
+     kitti360: segment; + normal.npy when the cloud has normals), plus
+     pc_coord/pc_segment* pass-throughs for eval splits (the reference
+     ships these via separate scripts; kitti360 writes them inline,
+     preprocess_kitti360_gs.py:389-390).
 
 Usage:
   python scripts/preprocess_dataset_gs.py --dataset scannet \
       --gs <ply-or-dir> --pc <pc_scene_dir> --output <out_scene_dir> \
-      [--lang-feat feats.npy] [--split val] [--max-dist 0.1]
+      [--lang-feat feats.npy] [--split val] [--max-dist 0.1] [--no-prune]
 """
 
 from __future__ import annotations
@@ -37,87 +48,159 @@ from scripts.preprocess_gs import read_gaussian_ply  # noqa: E402
 
 
 # per-dataset conventions (reference preprocess_*_gs.py files):
-#   label_keys: pc label files -> output names
-#   eval_passthrough: save the fused cloud for eval-time voting
+#   label_keys: pc label files -> output names (reference on-disk names)
+#   label_dtype: forced dtype of transferred labels (None = inherit source)
+#   bbox_prune: OBB enlargement in meters, or None (pruning disabled)
+#   eval_passthrough: save pc_coord/pc_<label> for eval-time voting
+#   pc_always: write the pass-through for every split (kitti360 inlines it)
 DATASET_SPECS = {
     "scannet": dict(
+        # reference preprocess_scannet_gs.py:296-332
         label_keys={"segment20": "segment20", "segment200": "segment200",
-                    "instance": "pc_instance"},
+                    "instance": "instance"},
         default_segment="segment20",
+        label_dtype=np.int16,
+        bbox_prune=0.25,
         eval_passthrough=True,
+        pc_always=False,
     ),
     "scannetpp": dict(
-        label_keys={"segment": "segment", "instance": "pc_instance"},
+        # reference preprocess_scannetpp_gs.py:229-313
+        label_keys={"segment": "segment", "instance": "instance"},
         default_segment="segment",
+        label_dtype=None,
+        bbox_prune=0.2,
         eval_passthrough=True,
+        pc_always=False,
     ),
     "matterport3d": dict(
-        label_keys={"segment": "segment", "segment_nyu_160": "segment160"},
+        # reference preprocess_matterport3d_gs.py:203-293 (pruning disabled
+        # l.252; optional segment_nyu_160 second label space)
+        label_keys={"segment": "segment", "segment_nyu_160": "segment_nyu_160"},
         default_segment="segment",
+        label_dtype=None,
+        bbox_prune=None,
         eval_passthrough=True,
+        pc_always=False,
     ),
     "holicity": dict(
+        # reference preprocess_holicity_gs.py:207-285 (OBB computed but
+        # pruning disabled l.248)
         label_keys={"segment": "segment"},
         default_segment="segment",
+        label_dtype=None,
+        bbox_prune=None,
         eval_passthrough=False,
+        pc_always=False,
     ),
     "kitti360": dict(
+        # reference preprocess_kitti360_gs.py:360-390 (pc_segment/pc_coord
+        # saved for every scene)
         label_keys={"segment": "segment"},
         default_segment="segment",
+        label_dtype=None,
+        bbox_prune=None,
         eval_passthrough=True,
+        pc_always=True,
     ),
 }
 
 
-def transfer_labels(gs_coord, pc_coord, pc_labels, max_dist=0.1,
-                    ignore_index=-1):
-    """1-NN label transfer with a distance cutoff (reference
-    preprocess_matterport3d_gs.py:149-290 semantics)."""
+def pca_obb_mask(pc_coord, gs_coord, enlargement):
+    """Boolean keep-mask of gaussians inside the PCA oriented bounding box of
+    the fused cloud, extended by ``enlargement`` meters per face (reference
+    o3d minimal-OBB + extent + 2*enlargement, preprocess_scannet_gs.py:
+    236-241, 311)."""
+    pc = np.asarray(pc_coord, np.float64)
+    center = pc.mean(0)
+    cov = np.cov((pc - center).T)
+    _, axes = np.linalg.eigh(cov)  # columns = box axes
+    proj = (pc - center) @ axes
+    lo, hi = proj.min(0) - enlargement, proj.max(0) + enlargement
+    gproj = (np.asarray(gs_coord, np.float64) - center) @ axes
+    return np.all((gproj >= lo) & (gproj <= hi), axis=1)
+
+
+def nearest_pc_index(gs_coord, pc_coord):
+    """Index of each gaussian's nearest fused-cloud point (reference
+    KDTree(pc_coord).query(gs_coord, k=1))."""
     from scenesplat_tpu import native
 
-    idx = native.knn(pc_coord.astype(np.float32),
-                     gs_coord.astype(np.float32), 1)[:, 0]
-    d = np.linalg.norm(pc_coord[idx] - gs_coord, axis=1)
-    out = pc_labels[idx].astype(np.int32)
-    out[d > max_dist] = ignore_index
+    return native.knn(pc_coord.astype(np.float32),
+                      gs_coord.astype(np.float32), 1)[:, 0]
+
+
+def transfer_labels(gs_coord, pc_coord, pc_labels, max_dist=None,
+                    ignore_index=-1, nn_idx=None):
+    """1-NN label transfer (reference preprocess_*_gs.py KDTree transfer —
+    the reference applies NO distance cutoff; pass ``max_dist`` to mark
+    gaussians farther than it as ``ignore_index``)."""
+    if nn_idx is None:
+        nn_idx = nearest_pc_index(gs_coord, pc_coord)
+    labels = np.asarray(pc_labels).reshape(-1)
+    out = labels[nn_idx]
+    if not np.issubdtype(out.dtype, np.signedinteger):
+        out = out.astype(np.int32)
+    if max_dist is not None:
+        d = np.linalg.norm(pc_coord[nn_idx] - gs_coord, axis=1)
+        out = out.copy()
+        out[d > max_dist] = ignore_index
     return out
 
 
 def process_scene(dataset, gs_path, pc_dir, out_dir, lang_feat_path=None,
-                  split="train", max_dist=0.1):
+                  split="train", max_dist=None, prune=True):
     spec = DATASET_SPECS[dataset]
     os.makedirs(out_dir, exist_ok=True)
     data = read_gaussian_ply(gs_path)
     coord = data["coord"]
-    for key, value in data.items():
-        np.save(os.path.join(out_dir, f"{key}.npy"), value)
+    keep = np.ones(len(coord), bool)
 
     pc_coord = None
     if pc_dir and os.path.exists(os.path.join(pc_dir, "coord.npy")):
         pc_coord = np.load(os.path.join(pc_dir, "coord.npy"))
+        if prune and spec["bbox_prune"] is not None:
+            keep = pca_obb_mask(pc_coord, coord, spec["bbox_prune"])
+            coord = coord[keep]
+
+    for key, value in data.items():
+        np.save(os.path.join(out_dir, f"{key}.npy"), value[keep])
+
+    if pc_coord is not None:
+        nn_idx = nearest_pc_index(coord, pc_coord)
+        normal_path = os.path.join(pc_dir, "normal.npy")
+        if os.path.exists(normal_path):
+            normal = np.load(normal_path)
+            np.save(os.path.join(out_dir, "normal.npy"),
+                    normal[nn_idx].astype(np.float32))
         for src, dst in spec["label_keys"].items():
             path = os.path.join(pc_dir, f"{src}.npy")
             if not os.path.exists(path):
                 continue
             pc_labels = np.load(path).reshape(-1)
-            labels = transfer_labels(coord, pc_coord, pc_labels, max_dist)
+            labels = transfer_labels(coord, pc_coord, pc_labels, max_dist,
+                                     nn_idx=nn_idx)
+            if spec["label_dtype"] is not None:
+                labels = labels.astype(spec["label_dtype"])
             np.save(os.path.join(out_dir, f"{dst}.npy"), labels)
-            if src == spec["default_segment"]:
-                np.save(os.path.join(out_dir, "segment.npy"), labels)
-        if spec["eval_passthrough"] and split != "train":
+        if spec["eval_passthrough"] and (spec["pc_always"] or split != "train"):
             np.save(os.path.join(out_dir, "pc_coord.npy"),
                     pc_coord.astype(np.float32))
-            seg_path = os.path.join(pc_dir, f"{spec['default_segment']}.npy")
-            if os.path.exists(seg_path):
-                np.save(os.path.join(out_dir, "pc_segment.npy"),
-                        np.load(seg_path).reshape(-1).astype(np.int32))
+            for src in spec["label_keys"]:
+                seg_path = os.path.join(pc_dir, f"{src}.npy")
+                if os.path.exists(seg_path):
+                    np.save(os.path.join(out_dir, f"pc_{src}.npy"),
+                            np.load(seg_path).reshape(-1).astype(np.int32))
 
     if lang_feat_path and os.path.exists(lang_feat_path):
         feat = np.load(lang_feat_path)
-        assert feat.shape[0] == coord.shape[0], (
-            f"lang feat rows {feat.shape[0]} != gaussians {coord.shape[0]}"
+        assert feat.shape[0] == keep.shape[0], (
+            f"lang feat rows {feat.shape[0]} != gaussians {keep.shape[0]}"
         )
-        valid = np.any(feat != 0.0, axis=1)
+        feat = feat[keep]
+        # reference saves the zero-row mask as int (preprocess_scannet_gs.py
+        # :274, 317)
+        valid = np.any(feat != 0.0, axis=1).astype(np.int64)
         np.save(os.path.join(out_dir, "lang_feat.npy"),
                 feat.astype(np.float16))
         np.save(os.path.join(out_dir, "valid_feat_mask.npy"), valid)
@@ -135,7 +218,11 @@ def main():
     parser.add_argument("--output", required=True)
     parser.add_argument("--lang-feat", default=None)
     parser.add_argument("--split", default="train")
-    parser.add_argument("--max-dist", type=float, default=0.1)
+    parser.add_argument("--max-dist", type=float, default=None,
+                        help="optional 1-NN distance cutoff (the reference "
+                             "transfers unconditionally)")
+    parser.add_argument("--no-prune", action="store_true",
+                        help="disable the per-dataset OBB pruning")
     args = parser.parse_args()
 
     if os.path.isdir(args.gs):
@@ -148,12 +235,12 @@ def main():
                 os.path.join(args.pc, name) if args.pc else None,
                 os.path.join(args.output, name),
                 lang_feat_path=args.lang_feat, split=args.split,
-                max_dist=args.max_dist,
+                max_dist=args.max_dist, prune=not args.no_prune,
             )
     else:
         process_scene(args.dataset, args.gs, args.pc, args.output,
                       lang_feat_path=args.lang_feat, split=args.split,
-                      max_dist=args.max_dist)
+                      max_dist=args.max_dist, prune=not args.no_prune)
     print("done")
 
 

@@ -1,24 +1,267 @@
-"""Per-dataset GS preprocessing: 1-NN label transfer + spec table."""
+"""Fixture-driven tests for scripts/preprocess_dataset_gs.py: each dataset
+spec is run on tiny synthetic raw inputs (a real binary GS .ply + a fused
+point cloud dir) and checked against exact expected outputs, mirroring the
+per-dataset quirks of the reference converters
+(pointcept/datasets/preprocessing/*/preprocess_*_gs.py):
+
+  - scannet: segment20/segment200/instance in int16, OBB pruning (+0.25 m)
+  - scannetpp: segment/instance, OBB pruning (+0.2 m)
+  - matterport3d: segment + segment_nyu_160, NO pruning
+  - holicity: segment only, NO pruning
+  - kitti360: pc_coord/pc_segment pass-through on every split
+  - all: 1-NN transfer with NO distance cutoff; normal.npy transferred
+    whenever the fused cloud has normals; GS activations
+    (sigmoid/exp/quat-normalize+sign-fix/SH-DC color).
+"""
+
+import struct
 
 import numpy as np
+import pytest
 
-from scripts.preprocess_dataset_gs import DATASET_SPECS, transfer_labels
+from scripts.preprocess_dataset_gs import (
+    DATASET_SPECS,
+    pca_obb_mask,
+    process_scene,
+    transfer_labels,
+)
+
+SH_C0 = 0.28209479177387814
+
+
+def write_gs_ply(path, coord, opacity_raw=None, scale_log=None, quat_raw=None,
+                 f_dc=None):
+    """Minimal binary_little_endian 3DGS ply in the standard field layout."""
+    n = len(coord)
+    rng = np.random.default_rng(0)
+    if opacity_raw is None:
+        opacity_raw = rng.normal(size=n).astype(np.float32)
+    if scale_log is None:
+        scale_log = rng.normal(size=(n, 3)).astype(np.float32)
+    if quat_raw is None:
+        quat_raw = rng.normal(size=(n, 4)).astype(np.float32)
+    if f_dc is None:
+        f_dc = rng.normal(size=(n, 3)).astype(np.float32)
+    names = (["x", "y", "z"] + [f"f_dc_{i}" for i in range(3)] + ["opacity"]
+             + [f"scale_{i}" for i in range(3)] + [f"rot_{i}" for i in range(4)])
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}"]
+    header += [f"property float {nm}" for nm in names]
+    header += ["end_header"]
+    rows = np.concatenate(
+        [coord, f_dc, opacity_raw[:, None], scale_log, quat_raw], axis=1
+    ).astype("<f4")
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode("ascii"))
+        f.write(rows.tobytes())
+    return dict(opacity_raw=opacity_raw, scale_log=scale_log,
+                quat_raw=quat_raw, f_dc=f_dc)
+
+
+def make_pc_dir(root, coord, labels=None, normal=None):
+    root.mkdir(parents=True, exist_ok=True)
+    np.save(root / "coord.npy", coord.astype(np.float32))
+    for name, val in (labels or {}).items():
+        np.save(root / f"{name}.npy", val)
+    if normal is not None:
+        np.save(root / "normal.npy", normal.astype(np.float32))
+
+
+def brute_nn(gs, pc):
+    return np.argmin(((gs[:, None] - pc[None]) ** 2).sum(-1), axis=1)
+
+
+@pytest.fixture()
+def cloud():
+    rng = np.random.default_rng(7)
+    pc = rng.uniform(0, 2, (80, 3)).astype(np.float32)
+    normal = rng.normal(size=(80, 3)).astype(np.float32)
+    labels = dict(
+        segment20=rng.integers(0, 20, 80).astype(np.int16),
+        segment200=rng.integers(0, 200, 80).astype(np.int16),
+        segment=rng.integers(0, 10, 80).astype(np.int64),
+        segment_nyu_160=rng.integers(0, 160, 80).astype(np.int64),
+        instance=rng.integers(0, 6, 80).astype(np.int16),
+    )
+    # gaussians: 30 jittered near cloud points + one far outlier
+    gs = np.concatenate(
+        [pc[:30] + 0.003, [[50.0, 50.0, 50.0]]]
+    ).astype(np.float32)
+    return pc, normal, labels, gs
+
+
+def test_gs_activations(tmp_path):
+    coord = np.array([[0, 0, 0], [1, 2, 3]], np.float32)
+    raw = write_gs_ply(
+        tmp_path / "s.ply", coord,
+        quat_raw=np.array([[-2.0, 0, 0, 0], [0.5, 0.5, -0.5, 0.5]], np.float32),
+    )
+    out = process_scene("holicity", str(tmp_path / "s.ply"), None,
+                        str(tmp_path / "out"))
+    opacity = np.load(tmp_path / "out" / "opacity.npy")
+    np.testing.assert_allclose(
+        opacity, 1 / (1 + np.exp(-raw["opacity_raw"])), rtol=1e-6)
+    scale = np.load(tmp_path / "out" / "scale.npy")
+    np.testing.assert_allclose(scale, np.exp(raw["scale_log"]), rtol=1e-6)
+    quat = np.load(tmp_path / "out" / "quat.npy")
+    # normalized + sign-fixed (w >= 0): [-2,0,0,0] -> [1,0,0,0] up to sign
+    np.testing.assert_allclose(quat[0], [1, 0, 0, 0], atol=1e-5)
+    assert (quat[:, 0] >= 0).all()
+    np.testing.assert_allclose(np.linalg.norm(quat, axis=1), 1.0, atol=1e-5)
+    color = np.load(tmp_path / "out" / "color.npy")
+    expect = (np.clip(raw["f_dc"] * SH_C0 + 0.5, 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(color, expect)
+
+
+def test_scannet_spec(tmp_path, cloud):
+    pc, normal, labels, gs = cloud
+    make_pc_dir(tmp_path / "pc", pc,
+                {k: labels[k] for k in ("segment20", "segment200", "instance")},
+                normal)
+    write_gs_ply(tmp_path / "s.ply", gs)
+    out = tmp_path / "out"
+    process_scene("scannet", str(tmp_path / "s.ply"), str(tmp_path / "pc"),
+                  str(out), split="val")
+    coord = np.load(out / "coord.npy")
+    # the far outlier is pruned by the +0.25 m OBB
+    assert len(coord) == 30
+    np.testing.assert_allclose(coord, gs[:30], atol=1e-6)
+    nn = brute_nn(coord, pc)
+    for key in ("segment20", "segment200"):
+        got = np.load(out / f"{key}.npy")
+        assert got.dtype == np.int16
+        np.testing.assert_array_equal(got, labels[key][nn])
+    inst = np.load(out / "instance.npy")
+    assert inst.dtype == np.int16
+    np.testing.assert_array_equal(inst, labels["instance"][nn])
+    np.testing.assert_allclose(np.load(out / "normal.npy"), normal[nn])
+    # eval pass-through of the fused cloud
+    np.testing.assert_allclose(np.load(out / "pc_coord.npy"), pc)
+    np.testing.assert_array_equal(
+        np.load(out / "pc_segment20.npy"), labels["segment20"].astype(np.int32))
+    assert np.load(out / "pc_segment20.npy").dtype == np.int32
+    # train split writes no pass-through for scannet
+    out2 = tmp_path / "out_train"
+    process_scene("scannet", str(tmp_path / "s.ply"), str(tmp_path / "pc"),
+                  str(out2), split="train")
+    assert not (out2 / "pc_coord.npy").exists()
+
+
+def test_scannetpp_spec(tmp_path, cloud):
+    pc, normal, labels, gs = cloud
+    make_pc_dir(tmp_path / "pc", pc,
+                {k: labels[k] for k in ("segment", "instance")}, normal)
+    write_gs_ply(tmp_path / "s.ply", gs)
+    out = tmp_path / "out"
+    process_scene("scannetpp", str(tmp_path / "s.ply"), str(tmp_path / "pc"),
+                  str(out))
+    coord = np.load(out / "coord.npy")
+    assert len(coord) == 30  # +0.2 m OBB pruning active
+    nn = brute_nn(coord, pc)
+    seg = np.load(out / "segment.npy")
+    # dtype inherited from the fused cloud (reference scannetpp keeps it)
+    assert seg.dtype == labels["segment"].dtype
+    np.testing.assert_array_equal(seg, labels["segment"][nn])
+    np.testing.assert_array_equal(np.load(out / "instance.npy"),
+                                  labels["instance"][nn])
+
+
+def test_matterport3d_spec(tmp_path, cloud):
+    pc, normal, labels, gs = cloud
+    make_pc_dir(tmp_path / "pc", pc,
+                {k: labels[k] for k in ("segment", "segment_nyu_160")}, normal)
+    write_gs_ply(tmp_path / "s.ply", gs)
+    out = tmp_path / "out"
+    process_scene("matterport3d", str(tmp_path / "s.ply"),
+                  str(tmp_path / "pc"), str(out))
+    coord = np.load(out / "coord.npy")
+    # pruning is DISABLED for matterport (reference l.252): outlier kept,
+    # and — like the reference — it still inherits its 1-NN label
+    assert len(coord) == 31
+    nn = brute_nn(coord, pc)
+    np.testing.assert_array_equal(np.load(out / "segment.npy"),
+                                  labels["segment"][nn])
+    np.testing.assert_array_equal(np.load(out / "segment_nyu_160.npy"),
+                                  labels["segment_nyu_160"][nn])
+    assert not (out / "instance.npy").exists()
+
+
+def test_holicity_spec(tmp_path, cloud):
+    pc, normal, labels, gs = cloud
+    # holicity fused clouds may carry extra label files; only segment is used
+    make_pc_dir(tmp_path / "pc", pc,
+                {k: labels[k] for k in ("segment", "instance")}, normal=None)
+    write_gs_ply(tmp_path / "s.ply", gs)
+    out = tmp_path / "out"
+    process_scene("holicity", str(tmp_path / "s.ply"), str(tmp_path / "pc"),
+                  str(out), split="val")
+    assert len(np.load(out / "coord.npy")) == 31  # no pruning
+    assert not (out / "instance.npy").exists()
+    assert not (out / "normal.npy").exists()  # no normals in the cloud
+    assert not (out / "pc_coord.npy").exists()  # no eval pass-through
+
+
+def test_kitti360_spec(tmp_path, cloud):
+    pc, normal, labels, gs = cloud
+    make_pc_dir(tmp_path / "pc", pc, {"segment": labels["segment"]}, normal)
+    write_gs_ply(tmp_path / "s.ply", gs)
+    out = tmp_path / "out"
+    # kitti360 writes the fused-cloud pass-through for EVERY split
+    # (reference preprocess_kitti360_gs.py:389-390)
+    process_scene("kitti360", str(tmp_path / "s.ply"), str(tmp_path / "pc"),
+                  str(out), split="train")
+    np.testing.assert_allclose(np.load(out / "pc_coord.npy"), pc)
+    np.testing.assert_array_equal(
+        np.load(out / "pc_segment.npy"), labels["segment"].astype(np.int32))
+
+
+def test_no_distance_cutoff_by_default(tmp_path, cloud):
+    """The reference transfers labels unconditionally — a far gaussian keeps
+    its 1-NN label unless --max-dist is given."""
+    pc, _, labels, gs = cloud
+    out = transfer_labels(gs, pc, labels["segment"])
+    nn = brute_nn(gs, pc)
+    np.testing.assert_array_equal(out, labels["segment"][nn])
+    out = transfer_labels(gs, pc, labels["segment"], max_dist=0.1)
+    assert out[-1] == -1  # the outlier
+    np.testing.assert_array_equal(out[:30], labels["segment"][nn[:30]])
+
+
+def test_pca_obb_mask_is_superset_of_cloud():
+    rng = np.random.default_rng(3)
+    pc = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    # every cloud point is inside its own OBB; far points are not
+    gs = np.concatenate([pc, [[30, 0, 0]]]).astype(np.float32)
+    mask = pca_obb_mask(pc, gs, enlargement=0.25)
+    assert mask[:100].all() and not mask[100]
 
 
 def test_dataset_specs_cover_reference():
     assert set(DATASET_SPECS) == {
         "scannet", "scannetpp", "matterport3d", "holicity", "kitti360"
     }
-    assert DATASET_SPECS["scannet"]["label_keys"]["segment20"] == "segment20"
-    assert DATASET_SPECS["matterport3d"]["label_keys"]["segment_nyu_160"] == "segment160"
+    assert DATASET_SPECS["scannet"]["bbox_prune"] == 0.25
+    assert DATASET_SPECS["scannetpp"]["bbox_prune"] == 0.2
+    for name in ("matterport3d", "holicity", "kitti360"):
+        assert DATASET_SPECS[name]["bbox_prune"] is None
+    assert DATASET_SPECS["kitti360"]["pc_always"] is True
 
 
-def test_transfer_labels_nn_and_cutoff():
+def test_matterport160_loader_accepts_reference_names(tmp_path):
+    """Matterport3D_160_GSDataset resolves the reference's on-disk
+    segment_nyu_160 into the canonical 'segment' slot."""
+    from scenesplat_tpu.data.gs_datasets import Matterport3D_160_GSDataset
+
+    scene = tmp_path / "train" / "sceneA"
+    scene.mkdir(parents=True)
+    n = 16
     rng = np.random.default_rng(0)
-    pc = rng.uniform(0, 1, (200, 3)).astype(np.float32)
-    labels = rng.integers(0, 5, 200).astype(np.int32)
-    # gaussians near pc points inherit labels; a far-away one gets -1
-    gs = np.concatenate([pc[:50] + 0.001, [[9.0, 9.0, 9.0]]]).astype(np.float32)
-    out = transfer_labels(gs, pc, labels, max_dist=0.1)
-    assert (out[:50] == labels[:50]).all()
-    assert out[50] == -1
+    np.save(scene / "coord.npy", rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    np.save(scene / "segment_nyu_160.npy", np.arange(n, dtype=np.int64))
+    ds = Matterport3D_160_GSDataset(
+        data_root=str(tmp_path), split="train", transform=[], test_mode=False,
+        loop=1,
+    )
+    data = ds.get_data(0)
+    np.testing.assert_array_equal(data["segment"], np.arange(n))
+    assert data["segment"].dtype == np.int32
