@@ -115,7 +115,7 @@ def build_optimizer(
     base_lr = cfg.pop("lr", 1e-3)
     weight_decay = cfg.pop("weight_decay", 0.0)
 
-    def make_tx(lr: float):
+    def make_tx(lr: float, wd: float, momentum: Optional[float]):
         if scheduler_cfg is not None:
             sched_cfg = dict(scheduler_cfg)
             if "max_lr" in sched_cfg and isinstance(sched_cfg["max_lr"], (list, tuple)):
@@ -124,32 +124,49 @@ def build_optimizer(
             schedule = build_scheduler(sched_cfg, total_steps, lr)
         else:
             schedule = lr
+        betas = cfg.get("betas", (0.9, 0.999))
+        eps = cfg.get("eps", 1e-8)
         if kind == "AdamW":
+            # torch.optim.AdamW: decoupled decay, p -= lr*(adam_update + wd*p)
             return optax.adamw(
-                schedule,
-                b1=cfg.get("betas", (0.9, 0.999))[0],
-                b2=cfg.get("betas", (0.9, 0.999))[1],
-                weight_decay=weight_decay,
+                schedule, b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd,
             )
         if kind == "Adam":
-            return optax.adam(schedule)
+            # torch.optim.Adam: L2 decay folded into the gradient BEFORE the
+            # moment updates (grad += wd * p)
+            return optax.chain(
+                optax.add_decayed_weights(wd) if wd else optax.identity(),
+                optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps),
+            )
         if kind == "SGD":
-            return optax.sgd(
-                schedule, momentum=cfg.get("momentum", 0.9),
-                nesterov=cfg.get("nesterov", False),
+            # torch.optim.SGD: grad += wd * p, then momentum accumulation
+            return optax.chain(
+                optax.add_decayed_weights(wd) if wd else optax.identity(),
+                optax.sgd(
+                    schedule,
+                    momentum=momentum if momentum is not None
+                    else cfg.get("momentum", 0.9),
+                    nesterov=cfg.get("nesterov", False),
+                ),
             )
         raise ValueError(f"unknown optimizer type: {kind}")
 
-    group_lrs = {"default": base_lr}
+    # reference param groups may override lr, weight_decay, and momentum per
+    # keyword (reference optimizer.py:20-26)
+    groups = {"default": (base_lr, weight_decay, None)}
     for pd in param_dicts or []:
-        group_lrs[pd["keyword"]] = pd.get("lr", base_lr)
+        groups[pd["keyword"]] = (
+            pd.get("lr", base_lr),
+            pd.get("weight_decay", weight_decay),
+            pd.get("momentum"),
+        )
 
-    if len(group_lrs) == 1:
-        tx = make_tx(base_lr)
+    if len(groups) == 1:
+        tx = make_tx(*groups["default"])
     else:
         labels = _label_params(params, param_dicts)
         tx = optax.multi_transform(
-            {name: make_tx(lr) for name, lr in group_lrs.items()}, labels
+            {name: make_tx(*args) for name, args in groups.items()}, labels
         )
     if clip_grad is not None and clip_grad > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip_grad), tx)
