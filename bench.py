@@ -25,7 +25,7 @@ import numpy as np
 
 
 def main(n_points: int = 131072, batch: int = 1, iters: int = 10, warmup: int = 3,
-         staged: bool | None = None):
+         staged: bool | None = None, outdoor: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -37,10 +37,19 @@ def main(n_points: int = 131072, batch: int = 1, iters: int = 10, warmup: int = 
     from scenesplat_tpu.models import PointBatch, build_model
 
     backbone = dict(FLAGSHIP_BACKBONE, dtype=jnp.bfloat16)
+    if outdoor:
+        # unbounded-scene configuration (KITTI-360/HoliCity shaped): no
+        # static dense_extent -> the conv plans take the merge-join path;
+        # deeper serialization covers the larger grid (VERDICT r2 item 9)
+        backbone.pop("dense_extent", None)
+        backbone["serialization_depth"] = 12
     model = build_model(dict(type="LangPretrainer", backbone=backbone))
 
     rng = np.random.default_rng(0)
-    coord, feat, grid_coord, mask = _make_inputs(rng, batch, n_points)
+    coord, feat, grid_coord, mask = _make_inputs(
+        rng, batch, n_points,
+        **(dict(grid_size=0.05, extent=100.0) if outdoor else {}),
+    )
     point = PointBatch(
         coord=jnp.asarray(coord),
         feat=jnp.asarray(feat),
@@ -331,6 +340,27 @@ def _orchestrate(kind: str):
         obj, err = _run_worker(args, timeout=min(900.0, remaining),
                                extra_env=extra_env)
         if obj is not None:
+            # Bonus rungs at the reference's larger operating points
+            # (<=192k train / ~698k inference, configs/...contrastive.py:
+            # 201,383) — purely opportunistic: failures never degrade the
+            # headline 32k result, successes are recorded under "sizes".
+            sizes = {args[-1]: obj["value"]}
+            bonus = (["65536"] if kind == "train"
+                     else ["65536", "131072", "196608"])
+            for n in bonus:
+                remaining = budget - (time.monotonic() - t0) - 15
+                if remaining < 180:
+                    break
+                bobj, berr = _run_worker(
+                    ["--worker", args[1], n],
+                    timeout=min(900.0, remaining), extra_env=extra_env,
+                )
+                if bobj is None:
+                    print(f"# bonus rung {n} failed: {berr}", file=sys.stderr)
+                    break  # larger sizes won't fare better
+                sizes[n] = bobj["value"]
+            if len(sizes) > 1:
+                obj["sizes"] = sizes
             print(json.dumps(obj))
             return
         last_err = err
@@ -347,6 +377,9 @@ if __name__ == "__main__":
             _canary()
         elif argv[1] == "train":
             main_train(n_points=int(argv[2]) if len(argv) > 2 else 32768)
+        elif argv[1] == "fwd-outdoor":
+            main(n_points=int(argv[2]) if len(argv) > 2 else 32768,
+                 outdoor=True)
         else:
             main(n_points=int(argv[2]) if len(argv) > 2 else 32768)
     elif argv and argv[0] == "train":
