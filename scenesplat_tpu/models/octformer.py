@@ -42,14 +42,52 @@ from scenesplat_tpu.ops.subm_conv import (
 from .builder import MODELS
 from .norm import LayerNorm, MaskedBatchNorm
 
-# the reference uses DEFAULT torch BatchNorm1d here (eps=1e-5,
-# momentum=0.1) — not PTv3's eps=1e-3/momentum=0.01 convention
+# BatchNorm conventions in the reference split by call site: raw
+# torch.nn.BatchNorm1d (cpe OctreeDWConvBn l.155, stage Downsample l.491,
+# seg_head l.571) keeps torch defaults eps=1e-5/momentum=0.1, while
+# ocnn.modules.OctreeConvBnRelu/OctreeDeconvBnRelu (stem, fpn 3x3 convs,
+# head-up deconvs) use ocnn's bn_momentum=0.01 (eps 1e-5).
 import functools as _functools
 
 _BN = _functools.partial(MaskedBatchNorm, eps=1e-5, momentum=0.1)
+_BN01 = _functools.partial(MaskedBatchNorm, eps=1e-5, momentum=0.01)
+from scenesplat_tpu.ops.sparse_conv import (
+    build_corner_lookup,
+    deconv_k3s2_apply,
+)
 from .ptv3 import SubMConv
-from .spunet import InverseConv, LevelState, StridedConv, _round_cap
+from .spunet import LevelState, StridedConv, _round_cap
 from .structure import PointBatch
+
+
+class DeconvK3(nn.Module):
+    """ocnn OctreeDeconv(kernel=[3], stride=2): coarse parents -> fine
+    children via the corner-anchored 27-tap transposed stencil
+    (ops.sparse_conv.deconv_k3s2_apply; reference decoder head,
+    octformer_v1m1_base.py:402-426)."""
+
+    in_channels: int
+    out_channels: int
+    depth: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat_parent, parent_level: LevelState,
+                 child_level: LevelState):
+        kernel = self.param(
+            "kernel", nn.initializers.truncated_normal(0.02),
+            (27, self.in_channels, self.out_channels), jnp.float32,
+        )
+        idx, found = build_corner_lookup(
+            (parent_level.ser.code_hi[0], parent_level.ser.code_lo[0],
+             parent_level.ser.order[0]),
+            child_level.grid_coord, child_level.mask, depth=self.depth,
+            packed=self.depth <= 10,
+        )
+        return deconv_k3s2_apply(
+            feat_parent, idx, found, child_level.grid_coord,
+            kernel.astype(self.dtype), mask=child_level.mask,
+        )
 
 
 class OctreeAttention(nn.Module):
@@ -161,7 +199,9 @@ class OctFormerBlock(nn.Module):
             x, level.mask, use_running_average=deterministic)
         feat = feat + x
 
-        droppath = nn.Dropout(self.drop_path, broadcast_dims=(2,),
+        # ocnn.nn.OctreeDropPath drops whole residual branches per SCENE
+        # (batch element), not per point — broadcast over points and channels
+        droppath = nn.Dropout(self.drop_path, broadcast_dims=(1, 2),
                               deterministic=deterministic, name="drop_path")
         attn = OctreeAttention(
             dim=c, patch_size=self.patch_size, num_heads=self.num_heads,
@@ -193,7 +233,17 @@ class OctFormer(nn.Module):
     drop_path: float = 0.5
     octree_scale_factor: float = 10.24
     octree_depth: int = 11
+    # accepted for reference-config parity; only affects ocnn's dense-level
+    # bookkeeping, never the nempty compute path (octformer_v1m1_base.py:525)
+    octree_full_depth: int = 2
     serialization_depth: int = 12
+    # "cmin": scene-min-anchored voxels at scale/2^depth (fast default for
+    # pre-deduplicated GridSample inputs). "ocnn": exact ocnn octree
+    # quantization — points in [-scale, scale], leaf cell
+    # floor((coord/scale + 1) * 2^(depth-1)) — with duplicate-leaf points
+    # mean-pooled into octants and nearest-interpolated back at the head
+    # (ocnn Octree.build_octree / OctreeInterp; octformer_v1m1_base.py:579-627)
+    quantization: str = "cmin"
     stage_capacity: Optional[Tuple[float, ...]] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -217,31 +267,61 @@ class OctFormer(nn.Module):
                 ),
             )
 
-        # octree leaves: quantize at scale_factor / 2^octree_depth
-        voxel = self.octree_scale_factor / (1 << self.octree_depth)
-        big = jnp.asarray(1e10, point.coord.dtype)
-        masked = jnp.where(point.mask[..., None], point.coord, big)
-        cmin = jnp.min(masked, axis=1, keepdims=True)
-        gc = jnp.floor((point.coord - cmin) / voxel).astype(jnp.int32)
-        gc = jnp.where(point.mask[..., None], jnp.maximum(gc, 0), 0)
-        gc = jnp.minimum(gc, (1 << depth) - 1)
-        level = make_level(gc, point.mask, serialize(gc, point.mask, ("z",), depth))
+        feat = point.feat.astype(self.dtype)
+        leaf_plan = None
+        if self.quantization == "ocnn":
+            # ocnn octree leaves: cell = floor((coord/scale + 1) * 2^(D-1))
+            half = float(1 << (self.octree_depth - 1))
+            gc = jnp.floor(
+                (point.coord / self.octree_scale_factor + 1.0) * half
+            ).astype(jnp.int32)
+            gc = jnp.clip(gc, 0, (1 << self.octree_depth) - 1)
+            gc = jnp.where(point.mask[..., None], gc, 0)
+            ser0 = serialize(gc, point.mask, ("z",), depth)
+            # duplicate-leaf points mean-pool into one octant
+            # (Octree.build_octree feature averaging)
+            leaf_plan = build_pooling_plan(
+                ser0, point.mask, out_capacity=gc.shape[1], pooling_depth=0
+            )
+            feat = pool_values(leaf_plan, feat, reduce="mean")
+            gc = take_along_points(gc, leaf_plan.head_index)
+            gc = jnp.where(leaf_plan.out_mask[..., None], gc, 0)
+            ser0 = pool_serialization(leaf_plan, ser0, 0, packed=depth <= 10)
+            level = make_level(gc, leaf_plan.out_mask, ser0)
+        else:
+            # scene-min anchored leaves at scale_factor / 2^octree_depth
+            voxel = self.octree_scale_factor / (1 << self.octree_depth)
+            big = jnp.asarray(1e10, point.coord.dtype)
+            masked = jnp.where(point.mask[..., None], point.coord, big)
+            cmin = jnp.min(masked, axis=1, keepdims=True)
+            gc = jnp.floor((point.coord - cmin) / voxel).astype(jnp.int32)
+            gc = jnp.where(point.mask[..., None], jnp.maximum(gc, 0), 0)
+            gc = jnp.minimum(gc, (1 << depth) - 1)
+            level = make_level(
+                gc, point.mask, serialize(gc, point.mask, ("z",), depth)
+            )
 
         def conv_bn_relu(x, cin, cout, lvl, name):
+            # ocnn.modules.OctreeConvBnRelu: k3s1 conv (no bias) + BN(0.01)
             x = SubMConv(cin, cout, kernel_size=3, use_bias=False,
                          dtype=self.dtype, name=f"{name}_conv")(x, lvl.conv_plan)
-            x = _BN(cout, dtype=self.dtype, name=f"{name}_norm")(
+            x = _BN01(cout, dtype=self.dtype, name=f"{name}_norm")(
                 x, lvl.mask, use_running_average=deterministic)
             return nn.relu(x)
 
-        def downsample(x, cin, cout, lvl, cap, name, relu=True):
+        def downsample(x, cin, cout, lvl, cap, name, relu=True,
+                       use_bias=False):
+            # relu=True: ocnn OctreeConvBnRelu([2], s2) — no bias, BN(0.01).
+            # relu=False: the reference's Downsample module — k2s2 conv with
+            # bias, raw torch BN (momentum 0.1), no relu (l.482-504).
             plan = build_pooling_plan(lvl.ser, lvl.mask, cap, pooling_depth=1)
-            y = StridedConv(cin, cout, dtype=self.dtype, name=f"{name}_conv")(
-                x, plan, lvl.grid_coord)
+            y = StridedConv(cin, cout, use_bias=use_bias, dtype=self.dtype,
+                            name=f"{name}_conv")(x, plan, lvl.grid_coord)
             new_grid = take_along_points(lvl.grid_coord, plan.head_index) >> 1
             new_ser = pool_serialization(plan, lvl.ser, 1, packed=depth <= 10)
             new_lvl = make_level(new_grid, plan.out_mask, new_ser)
-            y = _BN(cout, dtype=self.dtype, name=f"{name}_norm")(
+            bn = _BN01 if relu else _BN
+            y = bn(cout, dtype=self.dtype, name=f"{name}_norm")(
                 y, new_lvl.mask, use_running_average=deterministic)
             if relu:
                 y = nn.relu(y)
@@ -250,7 +330,6 @@ class OctFormer(nn.Module):
         # patch embed (reference l.430-480)
         stem_ch = [int(self.channels[0] * 2**i)
                    for i in range(-self.stem_down, 1)]
-        feat = point.feat.astype(self.dtype)
         stem_records = []  # (plan, child level) for the head-up deconvs
         pool_i = 0
         cin = self.in_channels
@@ -285,7 +364,7 @@ class OctFormer(nn.Module):
                 cap = _round_cap(n0, caps[pool_i])
                 feat, level, plan = downsample(
                     feat, self.channels[s], self.channels[s + 1], level, cap,
-                    f"down{s}", relu=False)
+                    f"down{s}", relu=False, use_bias=True)
                 stage_plans.append(plan)
                 pool_i += 1
 
@@ -310,19 +389,26 @@ class OctFormer(nn.Module):
                                     f"fpn_conv{i}")
             out = out + up_to_stage0(conv_out, s)
 
-        # head-up inverse convs back through the stem pools (reference head_up)
+        # head-up OctreeDeconvBnRelu(k3, s2) back through the stem pools
+        # (reference decoder up_conv, l.402-426)
+        parent_level = stage_levels[0]
         for i in range(min(self.head_up, self.stem_down)):
             plan, child_level = stem_records[self.stem_down - 1 - i]
-            out = InverseConv(fpn, fpn, dtype=self.dtype, name=f"up_conv{i}")(
-                out, plan, child_level.grid_coord, child_level.mask)
-            out = nn.relu(_BN(fpn, dtype=self.dtype,
-                                          name=f"up_conv{i}_norm")(
+            out = DeconvK3(fpn, fpn, depth=depth, dtype=self.dtype,
+                           name=f"up_conv{i}")(out, parent_level, child_level)
+            out = nn.relu(_BN01(fpn, dtype=self.dtype,
+                                name=f"up_conv{i}_norm")(
                 out, child_level.mask, use_running_average=deterministic))
+            parent_level = child_level
         # any remaining stem levels: nearest unpooling (reference OctreeInterp
         # 'nearest' back to the input points, l.626-628)
         for j in range(min(self.head_up, self.stem_down), self.stem_down):
             plan, _ = stem_records[self.stem_down - 1 - j]
             out = unpool_values(out, plan.cluster_of_point)
+        if leaf_plan is not None:
+            # OctreeInterp('nearest'): each input point takes its leaf
+            # octant's value (l.626-628)
+            out = unpool_values(out, leaf_plan.cluster_of_point)
 
         if self.num_classes > 0:
             x = nn.Dense(fpn, dtype=self.dtype, name="seg_fc1")(out)

@@ -81,6 +81,7 @@ class StridedConv(nn.Module):
 
     in_channels: int
     out_channels: int
+    use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -89,7 +90,12 @@ class StridedConv(nn.Module):
             "kernel", nn.initializers.truncated_normal(0.02),
             (8, self.in_channels, self.out_channels), jnp.float32,
         )
-        return strided_conv_apply(feat, plan, grid_coord, kernel.astype(self.dtype))
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.out_channels,), jnp.float32)
+                if self.use_bias else None)
+        return strided_conv_apply(
+            feat, plan, grid_coord, kernel.astype(self.dtype), bias=bias,
+        )
 
 
 class InverseConv(nn.Module):

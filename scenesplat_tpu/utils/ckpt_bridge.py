@@ -1438,6 +1438,221 @@ def convert_stratified_checkpoint(
     return params, batch_stats, report
 
 
+def convert_msc_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    backbone_converter=None,
+):
+    """Fill flax MaskedSceneContrast (MSC-v1m1) params from a reference
+    state dict (masked_scene_contrast_v1m1_base.py:24-67): the wrapped
+    backbone delegates to ``backbone_converter`` (default
+    convert_spunet_checkpoint) under the ``backbone.`` prefix; wrapper
+    leaves are mask_token [1, Cin] -> (Cin,) plus the color/normal Linear
+    heads."""
+    import jax
+
+    if backbone_converter is None:
+        backbone_converter = convert_spunet_checkpoint
+    bk_params, bk_stats, bk_report = backbone_converter(
+        torch_state, params_template["backbone_module"],
+        batch_stats_template.get("backbone_module", {}),
+        backbone_prefix="backbone.",
+    )
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    params["backbone_module"] = bk_params
+    if bk_stats:
+        batch_stats["backbone_module"] = bk_stats
+    used = set()
+    filled = set()
+
+    w = torch_state.get("mask_token")
+    if w is not None:
+        used.add("mask_token")
+        _assign(params, ("mask_token",), np.asarray(w).reshape(-1), filled)
+    for head in ("color_head", "normal_head"):
+        w = torch_state.get(f"{head}.weight")
+        if w is not None:
+            used.add(f"{head}.weight")
+            _assign(params, (head, "kernel"), np.asarray(w).T, filled)
+        b = torch_state.get(f"{head}.bias")
+        if b is not None:
+            used.add(f"{head}.bias")
+            _assign(params, (head, "bias"), b, filled)
+
+    unused = [
+        k for k in bk_report["unused_torch_keys"]
+        if k not in used and not k.startswith("backbone.")
+    ]
+    backbone_unused = [
+        k for k in bk_report["unused_torch_keys"] if k.startswith("backbone.")
+    ]
+    report = {
+        "unused_torch_keys": sorted(unused + backbone_unused),
+        "filled_leaves": len(filled) + bk_report["filled_leaves"],
+    }
+    return params, batch_stats, report
+
+
+def convert_octformer_checkpoint(
+    torch_state: Dict[str, np.ndarray],
+    params_template,
+    batch_stats_template,
+    backbone_prefix: str = "backbone.",
+):
+    """Fill flax OctFormer params from a reference OctFormer-v1m1 state dict
+    (octformer_v1m1_base.py:507-577 key layout).
+
+    ocnn conv weights arrive either as [kdim, Cin, Cout] or flattened
+    tap-major [kdim*Cin, Cout] (ocnn's octree2col matmul layout); both are
+    normalized to this framework's [kdim, Cin, Cout] with taps enumerated
+    x-major — k3: itertools.product((-1,0,1)^3); k2s2: (x&1)<<2|(y&1)<<1|(z&1)
+    (ops.subm_conv.kernel_offsets / ops.sparse_conv.kernel_tap). Real ocnn's
+    tap enumeration is not verifiable offline — same caveat class as spconv
+    KRSC (PARITY.md).
+
+    patch_embed.convs.{i}.{conv,bn}       -> embed{i}_conv / embed{i}_norm
+    patch_embed.downsamples.{i}           -> embed{i}_down_conv / _norm
+    patch_embed.proj                      -> embed_proj_conv / _norm
+    layers.{s}.blocks.{i}.*               -> stage{s}_block{i}/*
+    downsamples.{s}.{conv,norm}           -> down{s}_conv / down{s}_norm
+    decoder.conv1x1.{i}                   -> fpn_fc{i}
+    decoder.conv3x3.{i}.{conv,bn}         -> fpn_conv{i}_conv / _norm
+    decoder.up_conv.{i}.{conv,bn}         -> up_conv{i} / up_conv{i}_norm
+    seg_head.{0,1,3}                      -> seg_fc1 / seg_norm / seg_fc2
+    """
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), params_template
+    )
+    batch_stats = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), batch_stats_template
+    )
+    used = set()
+    filled = set()
+
+    def torch_get(key):
+        full = backbone_prefix + key
+        if full in torch_state:
+            used.add(full)
+            return torch_state[full]
+        return None
+
+    def ocnn_kernel(w, template):
+        kdim, cin, cout = template.shape
+        if w.shape == (kdim, cin, cout):
+            return w
+        if w.shape == (kdim * cin, cout):
+            return w.reshape(kdim, cin, cout)
+        raise ValueError(
+            f"unrecognized ocnn kernel shape {w.shape} for {template.shape}"
+        )
+
+    def put_conv(tkey, fpath):
+        w = torch_get(tkey + ".weights")
+        if w is None:
+            return
+        tmpl = _lookup(params, fpath + ("kernel",))
+        _assign(params, fpath + ("kernel",), ocnn_kernel(w, tmpl), filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    def put_dense(tkey, fpath):
+        w = torch_get(tkey + ".weight")
+        if w is not None:
+            _assign(params, fpath + ("kernel",), w.T, filled)
+        b = torch_get(tkey + ".bias")
+        if b is not None:
+            _assign(params, fpath + ("bias",), b, filled)
+
+    def put_bn(tkey, fpath):
+        for suffix, tree, leaf in (
+            (".weight", params, "scale"), (".bias", params, "bias"),
+            (".running_mean", batch_stats, "mean"),
+            (".running_var", batch_stats, "var"),
+        ):
+            w = torch_get(tkey + suffix)
+            if w is not None:
+                _assign(tree, fpath + (leaf,), w, filled)
+        torch_get(tkey + ".num_batches_tracked")
+
+    def put_ln(tkey, fpath):
+        for suffix, leaf in ((".weight", "scale"), (".bias", "bias")):
+            w = torch_get(tkey + suffix)
+            if w is not None:
+                _assign(params, fpath + (leaf,), w, filled)
+
+    stem_down = sum(
+        1 for k in params if re.fullmatch(r"embed(\d+)_conv", k)
+    )
+    for i in range(stem_down):
+        put_conv(f"patch_embed.convs.{i}.conv", (f"embed{i}_conv",))
+        put_bn(f"patch_embed.convs.{i}.bn", (f"embed{i}_norm",))
+        put_conv(f"patch_embed.downsamples.{i}.conv", (f"embed{i}_down_conv",))
+        put_bn(f"patch_embed.downsamples.{i}.bn", (f"embed{i}_down_norm",))
+    put_conv("patch_embed.proj.conv", ("embed_proj_conv",))
+    put_bn("patch_embed.proj.bn", ("embed_proj_norm",))
+
+    for name in list(params.keys()):
+        m = re.fullmatch(r"stage(\d+)_block(\d+)", name)
+        if m:
+            s, i = m.group(1), m.group(2)
+            t = f"layers.{s}.blocks.{i}"
+            w = torch_get(f"{t}.cpe.conv.weights")
+            if w is not None:
+                _assign(params, (name, "cpe_weight"), w, filled)
+            put_bn(f"{t}.cpe.bn", (name, "cpe_norm"))
+            put_ln(f"{t}.norm1", (name, "norm1"))
+            put_dense(f"{t}.attention.qkv", (name, "attention", "qkv"))
+            put_dense(f"{t}.attention.proj", (name, "attention", "proj"))
+            w = torch_get(f"{t}.attention.rpe.rpe_table")
+            if w is not None:
+                _assign(params, (name, "attention", "rpe_table"), w, filled)
+            put_ln(f"{t}.norm2", (name, "norm2"))
+            put_dense(f"{t}.mlp.fc1", (name, "mlp_fc1"))
+            put_dense(f"{t}.mlp.fc2", (name, "mlp_fc2"))
+            continue
+        m = re.fullmatch(r"down(\d+)_conv", name)
+        if m:
+            s = m.group(1)
+            put_conv(f"downsamples.{s}.conv", (name,))
+            put_bn(f"downsamples.{s}.norm", (f"down{s}_norm",))
+            continue
+        m = re.fullmatch(r"fpn_fc(\d+)", name)
+        if m:
+            put_dense(f"decoder.conv1x1.{m.group(1)}", (name,))
+            continue
+        m = re.fullmatch(r"fpn_conv(\d+)_conv", name)
+        if m:
+            i = m.group(1)
+            put_conv(f"decoder.conv3x3.{i}.conv", (name,))
+            put_bn(f"decoder.conv3x3.{i}.bn", (f"fpn_conv{i}_norm",))
+            continue
+        m = re.fullmatch(r"up_conv(\d+)", name)
+        if m:
+            i = m.group(1)
+            put_conv(f"decoder.up_conv.{i}.conv", (name,))
+            put_bn(f"decoder.up_conv.{i}.bn", (f"up_conv{i}_norm",))
+            continue
+
+    put_dense("seg_head.0", ("seg_fc1",))
+    put_bn("seg_head.1", ("seg_norm",))
+    put_dense("seg_head.3", ("seg_fc2",))
+
+    report = {
+        "unused_torch_keys": sorted(k for k in torch_state if k not in used),
+        "filled_leaves": len(filled),
+    }
+    return params, batch_stats, report
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:

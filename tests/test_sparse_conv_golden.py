@@ -101,3 +101,45 @@ def test_strided_then_inverse_matches_spconv_semantics():
             v, ref_up[tuple(c)], rtol=1e-5, atol=1e-5,
             err_msg=f"inverse mismatch at voxel {c}",
         )
+
+
+def test_deconv_k3s2_matches_naive_spec():
+    """Corner-anchored k3s2 transposed conv (ocnn OctreeDeconv semantics,
+    tests/ocnn_stub.py docstring) vs a naive per-child/per-offset loop:
+    out[c] = sum over delta in (-1..1)^3 with c - delta even per axis and
+    (c - delta)/2 an existing parent of x[parent] @ W[delta]."""
+    import itertools
+
+    from scenesplat_tpu.ops.sparse_conv import (
+        build_corner_lookup,
+        deconv_k3s2_apply,
+    )
+
+    rng = np.random.default_rng(7)
+    n, cin, cout = 140, 6, 5
+    gc = _scene(rng, n)
+    parents = np.unique(gc >> 1, axis=0)
+    m = len(parents)
+    pfeat = rng.normal(size=(m, cin)).astype(np.float32)
+    kernel = rng.normal(size=(27, cin, cout)).astype(np.float32)
+
+    parent_row = {tuple(p): i for i, p in enumerate(parents)}
+    want = np.zeros((n, cout), np.float32)
+    for ci, c in enumerate(gc):
+        for t, delta in enumerate(itertools.product((-1, 0, 1), repeat=3)):
+            q = c - np.asarray(delta)
+            if np.any(q & 1) or tuple(q >> 1) not in parent_row:
+                continue
+            want[ci] += pfeat[parent_row[tuple(q >> 1)]] @ kernel[t]
+
+    ser = serialize(jnp.asarray(parents)[None], jnp.ones((1, m), bool),
+                    ("z",), depth=16)
+    idx, found = build_corner_lookup(
+        (ser.code_hi[0], ser.code_lo[0], ser.order[0]),
+        jnp.asarray(gc)[None], jnp.ones((1, n), bool), depth=16,
+    )
+    got = np.asarray(deconv_k3s2_apply(
+        jnp.asarray(pfeat)[None], idx, found, jnp.asarray(gc)[None],
+        jnp.asarray(kernel),
+    ))[0]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
