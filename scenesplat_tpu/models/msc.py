@@ -138,6 +138,11 @@ class MaskedSceneContrast(nn.Module):
         nce = -(jnp.diagonal(logp) * w).sum() / denom
         return nce, jax.lax.stop_gradient(pos_sim), jax.lax.stop_gradient(neg_sim)
 
+    def _contrastive(self, f1, f2, oc1, oc2, scene, i1, i2, pair_valid):
+        """Loss-dispatch hook: v1m1 ignores the coords; MSC-v1m2 (CSC)
+        overrides with the partitioned InfoNCE."""
+        return self.compute_contrastive_loss(f1, f2, scene, i1, i2, pair_valid)
+
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = True):
         oc1, oc2 = batch["view1_origin_coord"], batch["view2_origin_coord"]
         m1, m2 = batch["view1_mask"], batch["view2_mask"]
@@ -145,7 +150,13 @@ class MaskedSceneContrast(nn.Module):
 
         rng = self.make_rng("shuffle")
         k_mask, k_pair = jax.random.split(rng)
-        pm1, pm2 = self.generate_cross_masks(k_mask, oc1, m1, oc2, m2)
+        if "view1_point_mask" in batch:
+            # injected masks (deterministic replay / golden tests): bypass
+            # the random patch tagging, keep everything downstream live
+            pm1 = batch["view1_point_mask"] & m1
+            pm2 = batch["view2_point_mask"] & m2
+        else:
+            pm1, pm2 = self.generate_cross_masks(k_mask, oc1, m1, oc2, m2)
 
         token = self.mask_token.astype(f1_in.dtype)
         f1_in = jnp.where(pm1[..., None], token, f1_in)
@@ -158,11 +169,18 @@ class MaskedSceneContrast(nn.Module):
         f1 = run(batch["view1_coord"], f1_in, batch["view1_grid_coord"], m1)
         f2 = run(batch["view2_coord"], f2_in, batch["view2_grid_coord"], m2)
 
-        scene, i1, i2, pair_valid = self.match_contrastive_pair(
-            k_pair, oc1, m1, oc2, m2
-        )
-        nce, pos_sim, neg_sim = self.compute_contrastive_loss(
-            f1, f2, scene, i1, i2, pair_valid
+        if "match_scene" in batch:
+            # injected match pairs (same replay/golden channel as the masks)
+            scene, i1, i2, pair_valid = (
+                batch["match_scene"], batch["match_i1"], batch["match_i2"],
+                batch["match_valid"],
+            )
+        else:
+            scene, i1, i2, pair_valid = self.match_contrastive_pair(
+                k_pair, oc1, m1, oc2, m2
+            )
+        nce, pos_sim, neg_sim = self._contrastive(
+            f1, f2, oc1, oc2, scene, i1, i2, pair_valid
         )
         loss = nce * self.contrast_weight
         out = {"nce_loss": nce, "pos_sim": pos_sim, "neg_sim": neg_sim}
@@ -197,3 +215,83 @@ class MaskedSceneContrast(nn.Module):
 
         out["loss"] = loss
         return out
+
+
+@MODELS.register_module("MSC-v1m2")
+class MaskedSceneContrastCSC(MaskedSceneContrast):
+    """MSC v1m2: contrastive backend with CSC spatial partitions
+    (reference masked_scene_contrast_v1m2_csc.py:24-384).
+
+    The reference partitions matched pairs by relative displacement —
+    partition_matrix[i, j] = f(c1[j] - c2[i]) (v1m2 l.182-201): ids 0-3 for
+    (r1 < d <= r2 | d > r2) x (dz > 0 | dz < 0); every other cell —
+    including the whole diagonal (d ~ 0 <= r1) and dz == 0 cells — keeps the
+    -1e7 init, which torch's ``part.unique()`` surfaces as a 5th
+    always-present partition while the loss still divides by
+    ``partitions`` = 4. Per-scene InfoNCE runs once per partition id with
+    the diagonal force-included; absent partitions contribute exactly 0
+    (diag-only softmax), so this fixed-shape version evaluates all five ids
+    unconditionally. The pos/neg monitors replicate the reference's
+    running-accumulator formula verbatim (neg uses pos accumulated over all
+    scenes SO FAR, v1m2 l.236-238). The loss consumes ORIGIN coords
+    (v1m2 l.330-336)."""
+
+    partitions: int = 4
+    r1: float = 0.125
+    r2: float = 2.0
+
+    def _contrastive(self, f1, f2, oc1, oc2, scene, i1, i2, pair_valid):
+        n1, n2 = f1.shape[1], f2.shape[1]
+        b_scenes = f1.shape[0]
+
+        def gather(x, n, idx):
+            return jnp.take(x.reshape((-1,) + x.shape[2:]),
+                            scene * n + idx, axis=0)
+
+        g1 = gather(f1, n1, i1).astype(jnp.float32)
+        g2 = gather(f2, n2, i2).astype(jnp.float32)
+        g1 = g1 / (jnp.linalg.norm(g1, axis=-1, keepdims=True) + 1e-7)
+        g2 = g2 / (jnp.linalg.norm(g2, axis=-1, keepdims=True) + 1e-7)
+        sim = g1 @ g2.T  # [P, P]
+        c1 = gather(oc1, n1, i1).astype(jnp.float32)
+        c2 = gather(oc2, n2, i2).astype(jnp.float32)
+
+        rel = c1[None, :, :] - c2[:, None, :]  # [i, j] = c1[j] - c2[i]
+        dist = jnp.sqrt((rel**2).sum(-1) + 1e-7)
+        up = rel[..., 2] > 0.0
+        down = rel[..., 2] < 0.0
+        mid = (dist > self.r1) & (dist <= self.r2)
+        far = dist > self.r2
+        sent = -1  # the -1e7 "close/degenerate" partition
+        part = jnp.where(
+            mid & up, 0, jnp.where(
+                mid & down, 1, jnp.where(
+                    far & up, 2, jnp.where(far & down, 3, sent))))
+        p = sim.shape[0]
+        eye = jnp.eye(p, dtype=bool)
+
+        loss = jnp.asarray(0.0, jnp.float32)
+        pos = jnp.asarray(0.0, jnp.float32)
+        neg = jnp.asarray(0.0, jnp.float32)
+        for s in range(b_scenes):
+            row = pair_valid & (scene == s)
+            w = row.astype(jnp.float32)
+            cnt = w.sum()
+            has = cnt > 0
+            denom = jnp.maximum(cnt, 1.0)
+            pos_b = (jnp.diagonal(sim) * w).sum() / denom
+            pos = pos + jnp.where(has, pos_b, 0.0)
+            row_means = (sim * w[None, :]).sum(-1) / denom
+            neg_b = (row_means * w).sum() / denom - pos / denom
+            neg = neg + jnp.where(has, neg_b, 0.0)
+            colpen = jnp.where(row, 0.0, -1e9)[None, :]
+            for pid in (sent, 0, 1, 2, 3):
+                pm = (part == pid) | eye
+                logits = sim / self.nce_t - 1e9 * (~pm).astype(jnp.float32)
+                logp = jax.nn.log_softmax(logits + colpen, axis=-1)
+                ce = -(jnp.diagonal(logp) * w).sum() / denom
+                loss = loss + jnp.where(has, ce, 0.0)
+        loss = loss / (b_scenes * self.partitions)
+        pos = pos / b_scenes
+        neg = neg / b_scenes
+        return loss, jax.lax.stop_gradient(pos), jax.lax.stop_gradient(neg)
