@@ -125,6 +125,12 @@ def collate_padded(
     batch = {}
     for key in keys:
         vals = [p[key] for p in padded]
+        if key == "cls_token":
+            # per-scene shape category (PartSeg): scalar or 1-elem array
+            batch[key] = np.asarray(
+                [int(np.asarray(v).reshape(-1)[0]) for v in vals], np.int32
+            )
+            continue
         if not isinstance(vals[0], np.ndarray):
             if isinstance(vals[0], (int, float)):
                 batch[key] = np.asarray(vals)

@@ -108,8 +108,9 @@ class FeatureExtractor:
             self._geom_backbone is not None and bucket >= self.split_threshold
         )
 
-    def _fn(self, bucket: int):
-        if bucket not in self._jitted:
+    def _fn(self, bucket: int, has_cls: bool = False):
+        key = (bucket, has_cls)
+        if key not in self._jitted:
             if self._split(bucket):
 
                 def fwd(variables, coord, feat, grid_coord, mask, geometry):
@@ -122,6 +123,16 @@ class FeatureExtractor:
                     )
                     return self.output_fn(out)
 
+            elif has_cls:
+
+                def fwd(variables, coord, feat, grid_coord, mask, cls_token):
+                    point = PointBatch(
+                        coord=coord, feat=feat, grid_coord=grid_coord,
+                        mask=mask, cls_token=cls_token,
+                    )
+                    out = self.model.apply(variables, point, train=False)
+                    return self.output_fn(out)
+
             else:
 
                 def fwd(variables, coord, feat, grid_coord, mask):
@@ -132,10 +143,11 @@ class FeatureExtractor:
                     out = self.model.apply(variables, point, train=False)
                     return self.output_fn(out)
 
-            self._jitted[bucket] = jax.jit(fwd)
-        return self._jitted[bucket]
+            self._jitted[key] = jax.jit(fwd)
+        return self._jitted[key]
 
-    def _run_chunk(self, variables, coord, feat, grid_coord) -> np.ndarray:
+    def _run_chunk(self, variables, coord, feat, grid_coord,
+                   cls_token=None) -> np.ndarray:
         n = coord.shape[0]
         bucket = self._bucket(n)
         pad = bucket - n
@@ -159,6 +171,11 @@ class FeatureExtractor:
                 PointBatch(coord=c, feat=f, grid_coord=gc, mask=m)
             )
             out = self._fn(bucket)(variables, c, f, gc, m, geometry)
+        elif cls_token is not None:
+            out = self._fn(bucket, has_cls=True)(
+                variables, *args,
+                np.asarray(cls_token, np.int32).reshape(1),
+            )
         else:
             out = self._fn(bucket)(variables, *args)
         return np.asarray(out[0, :n])
@@ -168,13 +185,16 @@ class FeatureExtractor:
         coord = np.asarray(sample["coord"], np.float32)
         feat = np.asarray(sample["feat"], np.float32)
         grid_coord = np.asarray(sample["grid_coord"], np.int32)
+        cls_token = sample.get("cls_token")
         n = coord.shape[0]
         if n <= self.chunk_size:
-            return self._run_chunk(variables, coord, feat, grid_coord)
+            return self._run_chunk(variables, coord, feat, grid_coord,
+                                   cls_token=cls_token)
         outs = []
         for start in range(0, n, self.chunk_size):
             sl = slice(start, min(start + self.chunk_size, n))
             gc = grid_coord[sl]
             gc = gc - gc.min(axis=0)  # chunks re-quantize independently
-            outs.append(self._run_chunk(variables, coord[sl], feat[sl], gc))
+            outs.append(self._run_chunk(variables, coord[sl], feat[sl], gc,
+                                        cls_token=cls_token))
         return np.concatenate(outs, axis=0)

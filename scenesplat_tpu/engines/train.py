@@ -115,6 +115,7 @@ class Trainer(TrainerBase):
         "DefaultSegmentorV2": "semseg",
         "PG-v1m1": "insseg",
         "MSC-v1m1": "msc",
+        "MSC-v1m2": "msc",
         "PPT-v1m1": "ppt",
         "PPT-v1m2": "ppt",
         "CAC-v1m1": "cac",

@@ -57,6 +57,7 @@ def point_from_batch(batch: Dict[str, jnp.ndarray]) -> PointBatch:
         feat=batch["feat"],
         grid_coord=batch["grid_coord"],
         mask=batch["mask"],
+        cls_token=batch.get("cls_token"),
     )
 
 

@@ -11,13 +11,16 @@ point_transformer_cls.py) on padded fixed-shape batches:
   - LayerNorm1d (a transposed BatchNorm1d, point_transformer/utils.py:7-14)
     and BatchNorm1d -> MaskedBatchNorm over valid slots.
 
-Registered: PointTransformer-Seg26/38/50 (seg.py:306-330) and
-PointTransformer-Cls26/38/50 (cls.py:110-133).
+Registered: PointTransformer-Seg26/38/50 (seg.py:306-330),
+PointTransformer-Cls26/38/50 (cls.py:110-133), and
+PointTransformer-PartSeg26/38/50 (point_transformer_partseg.py:353-374 —
+identical to Seg plus the optional ``num_shape_classes`` shape-category
+conditioning of the dec5 head).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -120,22 +123,34 @@ class TransitionDown(nn.Module):
 
 class TransitionUp(nn.Module):
     """Head variant: concat per-scene context; else interpolate + skip
-    (reference seg.py:122-168)."""
+    (reference seg.py:122-168). With ``num_shape_classes`` the head also
+    concatenates a 1024-d embedding of the scene's shape-category one-hot
+    (the PartSeg variant, point_transformer_partseg.py:122-182)."""
 
     in_planes: int
     out_planes: int = 0  # 0 == is_head (out_planes=None in reference)
+    num_shape_classes: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feat, state: PointsState, deterministic: bool,
-                 sub_feat=None, sub_state: PointsState = None):
+                 sub_feat=None, sub_state: PointsState = None,
+                 cls_token=None):
         if self.out_planes == 0:
             ctx = masked_mean_pool(feat, state.mask)  # [B, C]
             ctx = nn.relu(nn.Dense(self.in_planes, dtype=self.dtype,
                                    name="linear2")(ctx))
-            x = jnp.concatenate(
-                [feat, jnp.broadcast_to(ctx[:, None, :], feat.shape)], axis=-1
-            )
+            parts = [feat, jnp.broadcast_to(ctx[:, None, :], feat.shape)]
+            if self.num_shape_classes is not None:
+                onehot = jax.nn.one_hot(
+                    cls_token.reshape(-1), self.num_shape_classes,
+                    dtype=feat.dtype,
+                )  # [B, L]
+                y = nn.relu(nn.Dense(1024, dtype=self.dtype,
+                                     name="linear3")(onehot))
+                parts.append(jnp.broadcast_to(
+                    y[:, None, :], feat.shape[:2] + (1024,)))
+            x = jnp.concatenate(parts, axis=-1)
             x = nn.Dense(self.in_planes, dtype=self.dtype, name="linear1")(x)
             x = nn.relu(PointBN(self.in_planes, self.dtype, name="bn1")(
                 x, state.mask, deterministic))
@@ -190,6 +205,9 @@ class PointTransformerSeg(nn.Module):
     in_channels: int = 6
     num_classes: int = 13
     share_planes: int = 8
+    # PartSeg variant: condition the dec5 head on the scene's shape
+    # category (point.cls_token), point_transformer_partseg.py:216-344
+    num_shape_classes: Optional[int] = None
     knn_tile: int = 512
     dtype: jnp.dtype = jnp.float32
 
@@ -222,8 +240,9 @@ class PointTransformerSeg(nn.Module):
         # decoder (reference forward seg.py:290-300)
         feat, state = stages[4]
         feat = TransitionUp(in_planes=_PLANES[4], out_planes=0,
+                            num_shape_classes=self.num_shape_classes,
                             dtype=self.dtype, name="dec5_up")(
-            feat, state, deterministic)
+            feat, state, deterministic, cls_token=point.cls_token)
         feat = run_blocks(feat, state, _PLANES[4], 1, _NSAMPLE[4], "dec5")
         for s in reversed(range(4)):
             up_feat, up_state = stages[s]
@@ -311,4 +330,13 @@ for _name, _blocks in [("26", (1, 1, 1, 1, 1)), ("38", (1, 2, 2, 2, 2)),
              {"__annotations__": {"blocks": Tuple[int, ...]},
               "blocks": _blocks,
               "__doc__": f"Reference Cls{_name} (cls.py:110-133)."})
+    )
+    MODELS.register_module(f"PointTransformer-PartSeg{_name}")(
+        type(f"PointTransformerPartSeg{_name}", (PointTransformerSeg,),
+             {"__annotations__": {"blocks": Tuple[int, ...]},
+              "blocks": _blocks,
+              "__doc__": (f"Reference PartSeg{_name} "
+                          "(point_transformer_partseg.py:353-374); "
+                          "set num_shape_classes for category-conditioned "
+                          "part segmentation.")})
     )

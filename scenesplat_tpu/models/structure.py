@@ -33,6 +33,9 @@ class PointBatch:
     grid_coord [B, N, 3] int32 — non-negative voxel coordinates
     mask       [B, N]    bool  — True for real points, False for padding
     ser        per-curve serialization state (orders/inverses/codes), or None
+    cls_token  [B] int32 per-scene shape category, or None — consumed by the
+               category-conditioned PartSeg heads (reference
+               point_transformer_partseg.py:330-344 data_dict["cls_token"])
     """
 
     coord: jnp.ndarray
@@ -40,6 +43,7 @@ class PointBatch:
     grid_coord: jnp.ndarray
     mask: jnp.ndarray
     ser: Optional[Serialization] = None
+    cls_token: Optional[jnp.ndarray] = None
 
     @property
     def batch_size(self) -> int:

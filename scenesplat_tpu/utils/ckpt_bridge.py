@@ -542,6 +542,9 @@ def convert_ptv1_checkpoint(
             put_bn(f"dec{s}.0.linear1.1", (name, "bn1"))
             put_dense(f"dec{s}.0.linear2.0", (name, "linear2"))
             put_bn(f"dec{s}.0.linear2.1", (name, "bn2"))
+            # PartSeg head: shape-category embedding
+            # (point_transformer_partseg.py:144-146)
+            put_dense(f"dec{s}.0.linear3.0", (name, "linear3"))
             continue
 
     report = {

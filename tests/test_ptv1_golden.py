@@ -76,3 +76,66 @@ def test_ptv1_forward_matches_reference(ref_ptv1):
     # the distance comparisons (the stand-ins compute in fp64); a handful
     # of borderline-neighbor points land ~1e-3 apart
     np.testing.assert_allclose(ours, ref_out, rtol=2e-3, atol=2e-3)
+
+
+def test_ptv1_partseg_forward_matches_reference():
+    """PartSeg variant (point_transformer_partseg.py:216-374): identical
+    trunk plus the dec5 head's shape-category one-hot embedding
+    (cls_token -> Linear(L, 1024) -> concat)."""
+    from unittest import mock
+
+    install_executable_stubs()
+    mod = load_reference_package(
+        "pointcept.models.point_transformer.point_transformer_partseg"
+    )
+    if mod is None:
+        pytest.skip("reference repo unavailable")
+    rng = np.random.default_rng(29)
+    n, n_shape = 4096, 8
+    coord = rng.uniform(0, 4, size=(n, 3)).astype(np.float32)
+    feat = rng.normal(size=(n, 6)).astype(np.float32)
+
+    model = mod.PointTransformerSeg(
+        mod.Bottleneck, [1, 1, 1, 1, 1], in_channels=6, num_classes=12,
+        num_shape_classes=n_shape,
+    )
+    model.eval()
+    with torch.no_grad(), mock.patch.object(
+        torch.Tensor, "cuda", lambda self, *a, **k: self
+    ):
+        ref_out = model(dict(
+            coord=torch.from_numpy(coord),
+            feat=torch.from_numpy(feat),
+            offset=torch.tensor([n]),
+            cls_token=torch.tensor([3]),
+        )).numpy()
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    from scenesplat_tpu.models import PointBatch, build_model
+    from scenesplat_tpu.utils.ckpt_bridge import convert_ptv1_checkpoint
+
+    ours_model = build_model(dict(
+        type="PointTransformer-PartSeg26", in_channels=6, num_classes=12,
+        num_shape_classes=n_shape,
+    ))
+    pb = PointBatch(
+        coord=jnp.asarray(coord)[None],
+        feat=jnp.asarray(feat)[None],
+        grid_coord=jnp.floor(jnp.asarray(coord) / 0.04).astype(jnp.int32)[None],
+        mask=jnp.ones((1, n), bool),
+        cls_token=jnp.asarray([3], jnp.int32),
+    )
+    variables = ours_model.init(
+        {"params": jax.random.PRNGKey(0)}, pb, train=False
+    )
+    params, batch_stats, report = convert_ptv1_checkpoint(
+        state, variables["params"], variables.get("batch_stats", {}),
+        backbone_prefix="",
+    )
+    assert report["unused_torch_keys"] == [], report["unused_torch_keys"]
+    out = ours_model.apply(
+        {"params": params, "batch_stats": batch_stats}, pb, train=False
+    )
+    ours = np.asarray(out.feat[0], np.float32)
+    assert ours.shape == ref_out.shape
+    np.testing.assert_allclose(ours, ref_out, rtol=2e-3, atol=2e-3)
