@@ -28,8 +28,11 @@ def read_gaussian_ply(path: str) -> dict:
         vertex = PlyData.read(path)["vertex"]
         names = [p.name for p in vertex.properties]
         get = lambda n: np.asarray(vertex[n])
-    except ImportError:
-        # minimal binary_little_endian ply reader fallback (plyfile optional)
+    except (ImportError, AttributeError, TypeError):
+        # minimal binary_little_endian ply reader fallback. plyfile is
+        # optional — and an INERT plyfile stub may occupy sys.modules (the
+        # test suite stubs the reference repo's CUDA-adjacent deps), in
+        # which case PlyData exists but has no working .read
         names, get = _read_ply_fallback(path)
 
     data = {}

@@ -235,6 +235,59 @@ def test_simdino_wrapper_losses_and_ema_match_reference():
             rtol=5e-4, atol=5e-4, err_msg=f"{ref_key} vs {our_key}",
         )
 
+    # ---- backward parity of the composed SSL loss ------------------------
+    # rerun the reference forward WITH grads (BEFORE update_teacher mutates
+    # the teacher), backward the total loss, and map the student grads
+    # through the same bridges as the weights (linear relayouts commute
+    # with differentiation). Done here rather than a separate test so the
+    # expensive bridged setup is built once.
+    calls.clear()  # the injected mask generator is call-indexed
+    with mock.patch.object(torch.Tensor, "half", lambda self: self):
+        grad_out = ref(input_dict, teacher_temp=0.07)
+        grad_out["loss"].backward()
+    grads_t = {k: p.grad.detach().numpy()
+               for k, p in ref.named_parameters() if p.grad is not None}
+
+    ours_grads = jax.grad(
+        lambda p: loss_fn(p, ssl_state, jax_batch, jax.random.PRNGKey(3))[0]
+    )(jax.tree_util.tree_map(jnp.asarray, params))
+    zero_bb = jax.tree_util.tree_map(np.zeros_like, params["backbone_module"])
+    mapped_bb, _, g_report = convert_ptv3_lang_checkpoint(
+        grads_t, zero_bb, {}, backbone_prefix="backbone_student.",
+        flax_backbone_key="",
+    )
+    assert g_report["filled_leaves"] > 40
+    flat_ours = {
+        "/".join(str(p) for p in path): np.asarray(v)
+        for path, v in jax.tree_util.tree_flatten_with_path(
+            ours_grads["backbone_module"])[0]
+    }
+    flat_ref = {
+        "/".join(str(p) for p in path): np.asarray(v)
+        for path, v in jax.tree_util.tree_flatten_with_path(mapped_bb)[0]
+    }
+    checked = 0
+    for key, g_ref in flat_ref.items():
+        if not np.any(g_ref):
+            continue
+        scale = max(np.abs(g_ref).max(), 1e-3)
+        np.testing.assert_allclose(
+            flat_ours[key] / scale, g_ref / scale, rtol=5e-3, atol=5e-4,
+            err_msg=f"student backbone gradient mismatch at {key}",
+        )
+        checked += 1
+    assert checked > 40
+    for head, ours_key in (("dino_head", "dino_head"),
+                           ("ibot_head", "ibot_head")):
+        for j in range(1, 4):
+            t = f"{head}.mlp.{2 * (j - 1)}"
+            np.testing.assert_allclose(
+                np.asarray(ours_grads[ours_key][f"fc{j}"]["kernel"]),
+                grads_t[f"{t}.weight"].T, rtol=5e-3, atol=5e-4,
+                err_msg=f"{head} fc{j} kernel grad",
+            )
+    ref.zero_grad()
+
     # ---- EMA teacher update through the real train_step -----------------
     momentum = 0.9
     with torch.no_grad(), mock.patch.object(
