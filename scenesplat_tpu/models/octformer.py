@@ -237,13 +237,16 @@ class OctFormer(nn.Module):
     # bookkeeping, never the nempty compute path (octformer_v1m1_base.py:525)
     octree_full_depth: int = 2
     serialization_depth: int = 12
-    # "cmin": scene-min-anchored voxels at scale/2^depth (fast default for
-    # pre-deduplicated GridSample inputs). "ocnn": exact ocnn octree
-    # quantization — points in [-scale, scale], leaf cell
-    # floor((coord/scale + 1) * 2^(depth-1)) — with duplicate-leaf points
-    # mean-pooled into octants and nearest-interpolated back at the head
-    # (ocnn Octree.build_octree / OctreeInterp; octformer_v1m1_base.py:579-627)
-    quantization: str = "cmin"
+    # "ocnn" (default, reference-exact): ocnn octree quantization — points
+    # in [-scale, scale], leaf cell floor((coord/scale + 1) * 2^(D-1)) —
+    # with duplicate-leaf points mean-pooled into octants and
+    # nearest-interpolated back at the head (ocnn Octree.build_octree /
+    # OctreeInterp; octformer_v1m1_base.py:579-627). "cmin": scene-min
+    # anchored voxels at scale/2^depth, no leaf dedup — a faster variant
+    # for pre-deduplicated GridSample inputs and UNBOUNDED scenes (no
+    # [-scale, scale] assumption), not value-compatible with reference
+    # checkpoints
+    quantization: str = "ocnn"
     stage_capacity: Optional[Tuple[float, ...]] = None
     dtype: jnp.dtype = jnp.float32
 
