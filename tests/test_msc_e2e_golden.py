@@ -45,7 +45,7 @@ def _unique_grid(rng, n, extent=24):
     return g[rng.permutation(n)]
 
 
-def _run_pair(variant):
+def _run_pair(variant, grads=False):
     install_executable_stubs()
     if variant == "MSC-v1m1":
         mod = load_reference_package(
@@ -111,10 +111,20 @@ def _run_pair(variant):
         data[f"{v}_color"] = torch.from_numpy(views[v]["color"])
         data[f"{v}_normal"] = torch.from_numpy(views[v]["normal"])
         data[f"{v}_offset"] = torch.tensor([n])
-    with torch.no_grad(), mock.patch.object(
+    grads_t = None
+    with mock.patch.object(
         torch.Tensor, "cuda", lambda self, *a, **k: self
     ):
-        ref_out = {k: float(t) for k, t in ref(data).items()}
+        if grads:
+            ref_raw = ref(data)
+            ref_raw["loss"].backward()
+            grads_t = {k: q.grad.detach().numpy()
+                       for k, q in ref.named_parameters()
+                       if q.grad is not None}
+            ref_out = {k: float(t.detach()) for k, t in ref_raw.items()}
+        else:
+            with torch.no_grad():
+                ref_out = {k: float(t) for k, t in ref(data).items()}
 
     from scenesplat_tpu.models import build_model
     from scenesplat_tpu.utils.ckpt_bridge import convert_msc_checkpoint
@@ -154,7 +164,19 @@ def _run_pair(variant):
         {"params": params, "batch_stats": batch_stats}, batch, train=False,
         rngs={"shuffle": jax.random.PRNGKey(2)},
     )
-    return out, ref_out
+    if not grads:
+        return out, ref_out
+
+    def loss_fn(p):
+        res = ours_model.apply(
+            {"params": p, "batch_stats": batch_stats}, batch, train=False,
+            rngs={"shuffle": jax.random.PRNGKey(2)},
+        )
+        return res["loss"]
+
+    ours_grads = jax.grad(loss_fn)(
+        jax.tree_util.tree_map(jnp.asarray, params))
+    return out, ref_out, ours_grads, grads_t, params
 
 
 @pytest.mark.parametrize("variant", ["MSC-v1m1", "MSC-v1m2"])
@@ -166,3 +188,19 @@ def test_msc_e2e_matches_reference(variant):
             float(out[key]), ref_out[key], rtol=1e-4, atol=1e-4,
             err_msg=key,
         )
+
+
+@pytest.mark.parametrize("variant", ["MSC-v1m1", "MSC-v1m2"])
+def test_msc_e2e_gradients_match_reference(variant):
+    """Backward parity of the composed SSL step: mask-token mixing, two
+    backbone passes, InfoNCE (v1m2: per-partition CSC), color/normal heads."""
+    from tests.test_spvcnn_golden import _compare_bridge_mapped_grads
+    from scenesplat_tpu.utils.ckpt_bridge import convert_msc_checkpoint
+
+    out, ref_out, ours_grads, grads_t, params = _run_pair(variant, grads=True)
+    np.testing.assert_allclose(
+        float(out["loss"]), ref_out["loss"], rtol=1e-4, atol=1e-4)
+    _compare_bridge_mapped_grads(
+        ours_grads, grads_t, params, convert_msc_checkpoint,
+        min_checked=25,
+    )

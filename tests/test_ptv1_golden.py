@@ -78,6 +78,66 @@ def test_ptv1_forward_matches_reference(ref_ptv1):
     np.testing.assert_allclose(ours, ref_out, rtol=2e-3, atol=2e-3)
 
 
+def test_ptv1_gradients_match_reference(ref_ptv1):
+    """Backward parity through the vector-attention encoder/decoder (FPS,
+    kNN grouping, subtraction-attention, IDW interpolation). Tolerances
+    match the forward golden's documented FPS/kNN borderline drift."""
+    from tests.test_spvcnn_golden import _compare_bridge_mapped_grads
+
+    rng = np.random.default_rng(17)
+    n = 4096
+    coord = rng.uniform(0, 4, size=(n, 3)).astype(np.float32)
+    feat = rng.normal(size=(n, 6)).astype(np.float32)
+    w_out = rng.normal(size=(5,)).astype(np.float32)
+
+    model = ref_ptv1.PointTransformerSeg(
+        ref_ptv1.Bottleneck, [1, 1, 1, 1, 1], in_channels=6, num_classes=5
+    )
+    model.eval()
+    out = model(dict(
+        coord=torch.from_numpy(coord),
+        feat=torch.from_numpy(feat),
+        offset=torch.tensor([n]),
+    ))
+    (out * torch.from_numpy(w_out)).sum().backward()
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    grads_t = {k: p.grad.detach().numpy()
+               for k, p in model.named_parameters() if p.grad is not None}
+
+    from scenesplat_tpu.models import PointBatch, build_model
+    from scenesplat_tpu.utils.ckpt_bridge import convert_ptv1_checkpoint
+
+    ours_model = build_model(dict(
+        type="PointTransformer-Seg26", in_channels=6, num_classes=5,
+    ))
+    pb = PointBatch(
+        coord=jnp.asarray(coord)[None],
+        feat=jnp.asarray(feat)[None],
+        grid_coord=jnp.floor(jnp.asarray(coord) / 0.04).astype(jnp.int32)[None],
+        mask=jnp.ones((1, n), bool),
+    )
+    variables = ours_model.init(
+        {"params": jax.random.PRNGKey(0)}, pb, train=False
+    )
+    params, batch_stats, _ = convert_ptv1_checkpoint(
+        state, variables["params"], variables.get("batch_stats", {}),
+        backbone_prefix="",
+    )
+
+    def loss_fn(p):
+        out = ours_model.apply(
+            {"params": p, "batch_stats": batch_stats}, pb, train=False
+        )
+        return (out.feat[0] * jnp.asarray(w_out)).sum()
+
+    ours_grads = jax.grad(loss_fn)(
+        jax.tree_util.tree_map(jnp.asarray, params))
+    _compare_bridge_mapped_grads(
+        ours_grads, grads_t, params, convert_ptv1_checkpoint,
+        min_checked=40, rtol=2e-2, atol=2e-3, backbone_prefix="",
+    )
+
+
 def test_ptv1_partseg_forward_matches_reference():
     """PartSeg variant (point_transformer_partseg.py:216-374): identical
     trunk plus the dec5 head's shape-category one-hot embedding

@@ -83,7 +83,8 @@ def test_spvcnn_forward_matches_reference(ref_spvcnn):
 
 
 def _compare_bridge_mapped_grads(ours_grads, grads_t, params, converter,
-                                 min_checked=20, **conv_kwargs):
+                                 min_checked=20, rtol=5e-3, atol=5e-4,
+                                 **conv_kwargs):
     """Shared check: map torch grads through the weight bridge (linear
     relayouts commute with differentiation) and compare leaf-by-leaf."""
     import jax
@@ -104,7 +105,7 @@ def _compare_bridge_mapped_grads(ours_grads, grads_t, params, converter,
             continue
         scale = max(np.abs(g_ref).max(), 1e-3)
         np.testing.assert_allclose(
-            flat_ours[key] / scale, g_ref / scale, rtol=5e-3, atol=5e-4,
+            flat_ours[key] / scale, g_ref / scale, rtol=rtol, atol=atol,
             err_msg=f"gradient mismatch at {key}",
         )
         checked += 1
