@@ -39,6 +39,7 @@ from scenesplat_tpu.ops.segops import (
     unpool_values,
 )
 from scenesplat_tpu.ops.serialization import Serialization, take_along_points
+from scenesplat_tpu.ops.hash_grid import build_subm_conv_plan_hash
 from scenesplat_tpu.ops.subm_conv import (
     SubMConvPlan,
     build_subm_conv_plan,
@@ -442,6 +443,7 @@ def build_ptv3_geometry(
     capacities: Sequence[int] = (),
     shuffle_rng: Optional[jax.Array] = None,
     dense_extent: Optional[Tuple[int, int, int]] = None,
+    hash_grid: bool = False,
     pool_reduce_needs_coord: bool = True,
 ) -> PTv3Geometry:
     """Mirror of PTv3's in-forward geometry construction (serialization,
@@ -451,6 +453,10 @@ def build_ptv3_geometry(
     (ex, ey, ez), conv plans build via the dense-voxel-grid path
     (ops.subm_conv.build_subm_conv_plan_dense, ~10x faster than the
     merge-join sorts on TPU); extent shrinks with each pooling stride.
+    ``hash_grid``: UNBOUNDED scenes (outdoor: HoliCity / KITTI-360) route
+    conv plans through the bucketized hash table (ops.hash_grid) — the
+    dense path's scatter+row-gather structure without the O(extent^3)
+    buffer, and no join sort networks in the compile graph.
     """
     if point.ser is None:
         point = point.serialized(orders, depth=depth, shuffle_rng=shuffle_rng)
@@ -466,6 +472,10 @@ def build_ptv3_geometry(
             return build_subm_conv_plan_dense(
                 grid_coord, mask, kernel_size=k,
                 extent=_shrunk_extent(dense_extent, total_depth),
+            )
+        if hash_grid:
+            return build_subm_conv_plan_hash(
+                grid_coord, mask, kernel_size=k, depth=depth
             )
         return build_subm_conv_plan(
             grid_coord, mask, kernel_size=k, depth=depth,
@@ -584,10 +594,12 @@ def _geom_pool(ser, mask, coord, grid_coord, *, cap, pooling_depth, depth):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cap", "pooling_depth", "depth", "z_idx", "dense_extent"),
+    static_argnames=(
+        "cap", "pooling_depth", "depth", "z_idx", "dense_extent", "hash_grid"
+    ),
 )
 def _geom_pool_conv(ser, mask, coord, grid_coord, *, cap, pooling_depth,
-                    depth, z_idx, dense_extent=None):
+                    depth, z_idx, dense_extent=None, hash_grid=False):
     """Fused stage step: pooling + the pooled stage's k=3 conv plan in ONE
     program. Every tunnel dispatch costs ~28 ms RPC floor and dispatches
     serialize, so the staged path's program count is its throughput cap at
@@ -600,6 +612,11 @@ def _geom_pool_conv(ser, mask, coord, grid_coord, *, cap, pooling_depth,
     if dense_extent is not None:
         conv_plan = build_subm_conv_plan_dense(
             new_grid, plan.out_mask, kernel_size=3, extent=dense_extent
+        )
+        return plan, new_coord, new_grid, new_ser, conv_plan
+    if hash_grid:
+        conv_plan = build_subm_conv_plan_hash(
+            new_grid, plan.out_mask, kernel_size=3, depth=depth
         )
         return plan, new_coord, new_grid, new_ser, conv_plan
     zs = (
@@ -619,6 +636,12 @@ def _geom_conv_dense(grid_coord, mask, *, k, extent):
                                       extent=extent)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "depth"))
+def _geom_conv_hash(grid_coord, mask, *, k, depth):
+    return build_subm_conv_plan_hash(grid_coord, mask, kernel_size=k,
+                                     depth=depth)
+
+
 def build_ptv3_geometry_staged(
     point: PointBatch,
     *,
@@ -629,6 +652,7 @@ def build_ptv3_geometry_staged(
     capacities: Sequence[int] = (),
     shuffle_rng: Optional[jax.Array] = None,
     dense_extent: Optional[Tuple[int, int, int]] = None,
+    hash_grid: bool = False,
 ) -> PTv3Geometry:
     """build_ptv3_geometry semantics through per-step jitted programs."""
     orders = tuple(orders)
@@ -643,6 +667,10 @@ def build_ptv3_geometry_staged(
     if dense_extent is not None:
         stem_plan = _geom_conv_dense(
             point.grid_coord, point.mask, k=5, extent=tuple(dense_extent)
+        )
+    elif hash_grid:
+        stem_plan = _geom_conv_hash(
+            point.grid_coord, point.mask, k=5, depth=depth
         )
     else:
         z_sorted = _z_sorted_of(point.ser, orders)
@@ -665,12 +693,13 @@ def build_ptv3_geometry_staged(
             if dense_extent is not None
             else None
         )
-        if stage_extent is not None or 28 * cap <= _JOIN_ELEMS_PER_PROGRAM:
+        if (stage_extent is not None or hash_grid
+                or 28 * cap <= _JOIN_ELEMS_PER_PROGRAM):
             # one dispatch for pooling + the stage's conv plan
             plan, coord, grid_coord, ser, conv_plan = _geom_pool_conv(
                 state.ser, state.mask, state.coord, state.grid_coord,
                 cap=cap, pooling_depth=pooling_depth, depth=depth,
-                z_idx=z_idx, dense_extent=stage_extent,
+                z_idx=z_idx, dense_extent=stage_extent, hash_grid=hash_grid,
             )
         else:
             plan, coord, grid_coord, ser = _geom_pool(
@@ -741,6 +770,10 @@ class PointTransformerV3(nn.Module):
     # conv-plan builder (~10x faster than merge-join sorts on TPU). Must
     # cover every scene's grid extent; None = sort-based join path.
     dense_extent: Optional[Tuple[int, int, int]] = None
+    # UNBOUNDED scenes (outdoor): build conv plans via the bucketized hash
+    # grid (ops.hash_grid) — dense-path structure without the extent bound.
+    # Mutually exclusive with dense_extent (dense wins if both set).
+    hash_grid: bool = False
     # static per-stage point-capacity fractions (upper bounds on cluster
     # counts after each stride-2 pooling; surfaces shrink ~4x per level)
     stage_capacity: Optional[Tuple[float, ...]] = None
@@ -779,6 +812,7 @@ class PointTransformerV3(nn.Module):
             capacities=self.geometry_capacities(point.num_points),
             shuffle_rng=shuffle_rng,
             dense_extent=self.dense_extent,
+            hash_grid=self.hash_grid,
         )
 
     def build_geometry_staged(
@@ -799,6 +833,7 @@ class PointTransformerV3(nn.Module):
             capacities=self.geometry_capacities(point.num_points),
             shuffle_rng=shuffle_rng,
             dense_extent=self.dense_extent,
+            hash_grid=self.hash_grid,
         )
 
     @nn.compact
@@ -864,6 +899,11 @@ class PointTransformerV3(nn.Module):
                 return build_subm_conv_plan_dense(
                     grid_coord, mask, kernel_size=k,
                     extent=_shrunk_extent(self.dense_extent, total_depth),
+                )
+            if self.hash_grid:
+                return build_subm_conv_plan_hash(
+                    grid_coord, mask, kernel_size=k,
+                    depth=self.serialization_depth,
                 )
             return build_subm_conv_plan(
                 grid_coord, mask, kernel_size=k,

@@ -132,10 +132,15 @@ def lexsort_pair(hi: jnp.ndarray, lo: jnp.ndarray, axis: int = -1, packed: bool 
     # is_stable=False: stability is never required (ties = same voxel) and
     # stable variadic sorts compile ~20-50x slower on the TPU toolchain
     if packed:
-        key = jnp.where(hi != 0, SENTINEL_PACKED, lo)  # fold sentinel
+        # depth <= 10 -> 3*depth <= 30 bits, but the (hi, lo) lanes split at
+        # bit 24: coords >= 256 carry code bits [24, 30) in hi (<= 0x3F).
+        # Pack the FULL code into one u32; only the padding sentinel
+        # (SENTINEL_HI, far above 0x3F) folds to the packed sentinel.
+        key = jnp.where(hi > jnp.uint32(0x3F), SENTINEL_PACKED, (hi << 24) | lo)
         sorted_key, order = sort_rows((key, iota), num_keys=1)
-        sorted_hi = jnp.where(sorted_key == SENTINEL_PACKED, SENTINEL_HI, 0)
-        sorted_lo = jnp.where(sorted_key == SENTINEL_PACKED, 0, sorted_key)
+        is_pad = sorted_key == SENTINEL_PACKED
+        sorted_hi = jnp.where(is_pad, SENTINEL_HI, sorted_key >> 24)
+        sorted_lo = jnp.where(is_pad, 0, sorted_key & MASK24)
         return sorted_hi.astype(jnp.uint32), sorted_lo.astype(jnp.uint32), order
     sorted_hi, sorted_lo, order = sort_rows((hi, lo, iota), num_keys=2)
     return sorted_hi, sorted_lo, order
@@ -302,8 +307,14 @@ def _lookup_packed(data_hi, data_lo, qhi, qlo, data_payload, qshape):
     m = qhi.shape[-1]
     assert m < (1 << 30) and n < (1 << 30)
     sentinel = SENTINEL_PACKED  # even (data flag) and above any code<<1
-    dkey = jnp.where(data_hi != 0, sentinel, data_lo << 1)
-    qkey = (qlo << 1) | jnp.uint32(1)
+    # codes are <= 30 bits but lane-split at bit 24 (see lexsort_pair):
+    # repack (hi << 24) | lo so coords >= 256 join correctly; only padding
+    # (SENTINEL_HI) exceeds 0x3F in the hi lane
+    dkey = jnp.where(
+        data_hi > jnp.uint32(0x3F), sentinel,
+        ((data_hi << 24) | data_lo) << 1,
+    )
+    qkey = (((qhi << 24) | qlo) << 1) | jnp.uint32(1)
     key = jnp.concatenate([dkey, qkey], axis=-1)
     data_bit = jnp.uint32(1) << 30
     aux = jnp.concatenate(

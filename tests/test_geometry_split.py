@@ -279,3 +279,80 @@ def test_dense_extent_geometry_matches_join():
     np.testing.assert_allclose(
         np.asarray(out_j.feat), np.asarray(out_d.feat), rtol=1e-5, atol=1e-6
     )
+
+
+def test_hash_grid_geometry_matches_join():
+    """hash_grid conv plans must equal the merge-join plans end-to-end at
+    UNBOUNDED extents no dense_extent could afford (fused, staged, and
+    inline-forward paths) — the outdoor KITTI-360/HoliCity configuration."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scenesplat_tpu.models import build_model
+    from scenesplat_tpu.models.ptv3 import (
+        build_ptv3_geometry, build_ptv3_geometry_staged,
+    )
+    from scenesplat_tpu.models.structure import PointBatch as PB
+
+    rng = np.random.default_rng(17)
+    b, n = 2, 768
+    # unique voxels per scene, spread over a 2000-cell/axis grid (100 m at
+    # 5 cm) — coords far beyond the packed-u32 24-bit lane split too
+    gcs = []
+    for _ in range(b):
+        cells = np.unique(rng.integers(0, 2000**3, 4 * n, dtype=np.int64))
+        cells = rng.permutation(cells)[:n]
+        gcs.append(np.stack(np.unravel_index(cells, (2000,) * 3), -1))
+    grid_coord = np.stack(gcs).astype(np.int32)
+    coord = grid_coord * 0.05 + 0.01
+    mask = np.ones((b, n), bool)
+    mask[1, 700:] = False
+    point = PB(
+        coord=jnp.asarray(coord.astype(np.float32)),
+        feat=jnp.zeros((b, n, 3), jnp.float32),
+        grid_coord=jnp.asarray(grid_coord), mask=jnp.asarray(mask),
+    )
+    kw = dict(orders=("z", "hilbert"), depth=12, num_stages=3,
+              strides=(2, 2), capacities=(512, 256))
+    join = jax.jit(lambda p: build_ptv3_geometry(p, **kw))(point)
+    hashed = jax.jit(
+        lambda p: build_ptv3_geometry(p, hash_grid=True, **kw)
+    )(point)
+    staged = build_ptv3_geometry_staged(point, hash_grid=True, **kw)
+
+    def check_conv_plan(pj, po):
+        vj = np.asarray(pj.neighbor_valid)
+        np.testing.assert_array_equal(vj, np.asarray(po.neighbor_valid))
+        np.testing.assert_array_equal(
+            np.asarray(pj.neighbor_index)[vj], np.asarray(po.neighbor_index)[vj]
+        )
+
+    for other in (hashed, staged):
+        check_conv_plan(join.stem_plan, other.stem_plan)
+        for sj, so in zip(join.states, other.states):
+            check_conv_plan(sj.conv_plan, so.conv_plan)
+            for fj, fo in zip(sj[:-1], so[:-1]):  # coord..ser fields
+                for a, c in zip(jax.tree_util.tree_leaves(fj),
+                                jax.tree_util.tree_leaves(fo)):
+                    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    # inline forward with hash_grid == forward with join geometry
+    cfg = dict(
+        type="PT-v3m1", in_channels=3, order=("z", "hilbert"),
+        stride=(2, 2), enc_depths=(1, 1, 1), enc_channels=(8, 16, 24),
+        enc_num_head=(2, 2, 2), enc_patch_size=(16, 16, 16),
+        dec_depths=(1, 1), dec_channels=(8, 16), dec_num_head=(2, 2),
+        dec_patch_size=(16, 16), mlp_ratio=2, drop_path=0.0,
+        serialization_depth=12, use_pallas=False,
+    )
+    point = point.replace(feat=jnp.asarray(
+        rng.normal(size=(b, n, 3)).astype(np.float32)))
+    m_join = build_model(cfg)
+    m_hash = build_model(dict(cfg, hash_grid=True))
+    variables = m_join.init(jax.random.PRNGKey(0), point)
+    out_j = m_join.apply(variables, point)
+    out_h = m_hash.apply(variables, point)
+    np.testing.assert_allclose(
+        np.asarray(out_j.feat), np.asarray(out_h.feat), rtol=1e-5, atol=1e-6
+    )

@@ -20,6 +20,23 @@ def make_scene(rng, b=2, n=200, extent=12):
     return np.stack(gcs), np.stack(masks)
 
 
+def make_big_extent_scene(rng, b=2, n=200, extent=1000):
+    """Unique voxels at extents where make_scene's full permutation is
+    infeasible: rejection-sample distinct flat cells."""
+    gcs, masks = [], []
+    for bi in range(b):
+        nv = n - 17 * bi
+        cells = np.unique(rng.integers(0, extent**3, 4 * n))[:nv]
+        assert len(cells) == nv
+        gc = np.stack(np.unravel_index(cells, (extent,) * 3), -1)
+        gc = np.concatenate([gc, np.zeros((n - nv, 3), np.int64)]).astype(
+            np.int32
+        )
+        masks.append(np.arange(n) < nv)
+        gcs.append(gc)
+    return np.stack(gcs), np.stack(masks)
+
+
 def brute_force_plan(gc, mask, kernel_size):
     b, n, _ = gc.shape
     offsets = subm_conv.kernel_offsets(kernel_size)
@@ -88,6 +105,57 @@ def test_center_offset_is_identity(rng):
     m = mask[0]
     assert valid[m].all()
     np.testing.assert_array_equal(idx[m], np.nonzero(m)[0])
+
+
+def test_plan_packed_depth10_flagship_extent(rng):
+    """Regression: coords >= 256 carry code bits [24, 30) in the hi lane;
+    the packed join must repack (hi << 24) | lo, not assume hi == 0. The
+    flagship operates at depth 10 with 6x6 m / 2 cm chunks -> coords up to
+    ~320, so this is the production regime (the original packed path
+    silently dropped every such point as data)."""
+    gc, mask = make_big_extent_scene(rng, b=2, n=150, extent=320)
+    import jax.numpy as jnp
+
+    plan16 = subm_conv.build_subm_conv_plan(
+        jnp.asarray(gc), jnp.asarray(mask), kernel_size=3, depth=16
+    )
+    plan10 = subm_conv.build_subm_conv_plan(
+        jnp.asarray(gc), jnp.asarray(mask), kernel_size=3, depth=10
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plan10.neighbor_valid), np.asarray(plan16.neighbor_valid)
+    )
+    v = np.asarray(plan10.neighbor_valid)
+    np.testing.assert_array_equal(
+        np.asarray(plan10.neighbor_index)[v], np.asarray(plan16.neighbor_index)[v]
+    )
+
+
+def test_lexsort_packed_matches_pair_flagship_extent(rng):
+    """Regression for the same lane-split bug in serialization sorts."""
+    import jax.numpy as jnp
+
+    from scenesplat_tpu.ops.bitops import lexsort_pair
+    from scenesplat_tpu.ops.curves import z_order_encode
+
+    gc, mask = make_big_extent_scene(rng, b=2, n=200, extent=1000)
+    hi, lo = z_order_encode(jnp.asarray(gc), depth=10)
+    hi = jnp.where(jnp.asarray(mask), hi, jnp.uint32(0x7FFFFFFF))
+    shi_p, slo_p, order_p = lexsort_pair(hi, lo, packed=True)
+    shi_r, slo_r, order_r = lexsort_pair(hi, lo, packed=False)
+    # padding slots tie on the sentinel and may permute arbitrarily between
+    # the two (unstable) sorts — compare the valid prefix per row
+    for bi in range(mask.shape[0]):
+        nv = int(mask[bi].sum())
+        np.testing.assert_array_equal(
+            np.asarray(order_p)[bi, :nv], np.asarray(order_r)[bi, :nv]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(shi_p)[bi, :nv], np.asarray(shi_r)[bi, :nv]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(slo_p)[bi, :nv], np.asarray(slo_r)[bi, :nv]
+        )
 
 
 def test_plan_packed_depth10(rng):
