@@ -4,7 +4,8 @@
 import os
 import sys
 
-_base_ = ["lang-pretrain-concat-gs-contrastive.py"]
+_base_ = ["lang-pretrain-concat-gs-contrastive.py",
+          "../_base_/dataset/scannetpp.py"]
 
 meta_root = os.environ.get("SCENESPLAT_META_ROOT", "data/metadata")
 

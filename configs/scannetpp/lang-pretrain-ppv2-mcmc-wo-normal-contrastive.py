@@ -9,7 +9,8 @@ sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "_base_"))
 import gs_pipelines as _gp
 
-_base_ = ["../_base_/default_runtime.py"]
+_base_ = ["../_base_/default_runtime.py",
+          "../_base_/dataset/scannetpp.py"]
 
 data_root = os.environ.get("SCANNETPP_GS_ROOT", "data/scannetpp_gs")
 meta_root = os.environ.get("SCENESPLAT_META_ROOT", "data/metadata")

@@ -3,7 +3,8 @@
 # semseg-gs-scannetpp-all-w-normal-fixed-xyz.py.
 import os
 
-_base_ = ["../scannet/semseg-gs-scannet-all-w-normal-fixed-xyz.py"]
+_base_ = ["../scannet/semseg-gs-scannet-all-w-normal-fixed-xyz.py",
+          "../_base_/dataset/scannetpp.py"]
 
 data_root = os.environ.get("SCANNETPP_GS_ROOT", "data/scannetpp_gs")
 

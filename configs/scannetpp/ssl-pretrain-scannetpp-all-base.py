@@ -2,7 +2,8 @@
 # Counterpart of reference configs/scannetpp/ssl-pretrain-scannetpp-all-base.py.
 import os
 
-_base_ = ["../scannet/ssl-pretrain-scannet-all-base.py"]
+_base_ = ["../scannet/ssl-pretrain-scannet-all-base.py",
+          "../_base_/dataset/scannetpp.py"]
 
 data_root = os.environ.get("SCANNETPP_GS_ROOT", "data/scannetpp_gs")
 
