@@ -140,14 +140,30 @@ def _matrix_to_quat_wxyz(m):
     return q
 
 
+def _normalize_quat(q):
+    n = np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    return q / n
+
+
 def _rotate_quat(data_dict, rot_t):
     """Left-multiply the per-Gaussian rotation by ``rot_t``
-    (reference transform.py:582-595)."""
+    (reference transform.py:582-595; scipy composes unit quaternions, so
+    this is one batched Hamilton product on the normalized quats — the
+    matrix round-trip costs ~30x more host time at 700k Gaussians)."""
     if "quat" not in data_dict:
         return
-    m = _quat_wxyz_to_matrix(np.asarray(data_dict["quat"], np.float64))
-    new_m = np.einsum("ij,njk->nik", rot_t, m)
-    data_dict["quat"] = _matrix_to_quat_wxyz(new_m).astype(np.float32)
+    q = _normalize_quat(np.asarray(data_dict["quat"], np.float64))
+    rw, rx, ry, rz = _matrix_to_quat_wxyz(rot_t[None])[0]
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    data_dict["quat"] = np.stack(
+        [
+            rw * w - rx * x - ry * y - rz * z,
+            rw * x + rx * w + ry * z - rz * y,
+            rw * y - rx * z + ry * w + rz * x,
+            rw * z + rx * y - ry * x + rz * w,
+        ],
+        axis=-1,
+    ).astype(np.float32)
 
 
 class Compose:
@@ -404,10 +420,18 @@ class RandomFlip:
                 if "normal" in data_dict:
                     data_dict["normal"][:, axis] = -data_dict["normal"][:, axis]
         if flipped and "quat" in data_dict:
-            # conjugate the rotation by the reflection (reference l.714-725)
-            m = _quat_wxyz_to_matrix(np.asarray(data_dict["quat"], np.float64))
-            new_m = np.einsum("ij,njk,kl->nil", r_reflect, m, r_reflect)
-            data_dict["quat"] = _matrix_to_quat_wxyz(new_m).astype(np.float32)
+            # conjugate the rotation by the reflection (reference l.714-725).
+            # F R(u, t) F = R(F u, -t) for a single-axis reflection F, i.e.
+            # (w, v) -> (w, -F v): negating the two vector components other
+            # than the flipped axis. Quaternion sign is ambiguous (goldens
+            # compare matrices); the reference normalizes via scipy, so do.
+            q = _normalize_quat(np.asarray(data_dict["quat"], np.float64))
+            signs = np.ones(4)
+            for axis in (0, 1):
+                if r_reflect[axis, axis] < 0:
+                    others = [a for a in (0, 1, 2) if a != axis]
+                    signs[[1 + others[0], 1 + others[1]]] *= -1.0
+            data_dict["quat"] = (q * signs).astype(np.float32)
         return data_dict
 
 
@@ -761,7 +785,10 @@ class SphereCrop:
         else:
             center = data_dict["coord"][n // 2]
         d2 = np.sum(np.square(data_dict["coord"] - center), 1)
-        idx = np.argsort(d2)[:point_max]
+        # reference: np.argsort(d2)[:point_max]. Same selection + same
+        # distance-sorted order via O(n) partition of only the kept subset
+        part = np.argpartition(d2, point_max - 1)[:point_max]
+        idx = part[np.argsort(d2[part])]
         return _subset(data_dict, idx)
 
 
