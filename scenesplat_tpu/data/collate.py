@@ -118,13 +118,30 @@ def collate_padded(
                 mixed.append(a)
         samples = mixed
 
-    padded = [pad_sample(s, num_points) for s in samples]
-    keys = set(padded[0])
-    for p in padded[1:]:
-        keys &= set(p)
+    # over-budget samples random-downsample (same draw order as pad_sample)
+    shrunk = []
+    for s in samples:
+        n = s["coord"].shape[0]
+        if n > num_points:
+            keep = trng().choice(n, num_points, replace=False)
+            s = {
+                k: (v[keep]
+                    if isinstance(v, np.ndarray) and v.shape[:1] == (n,)
+                    and not k.startswith(("pc_", "origin_"))
+                    else v)
+                for k, v in s.items()
+            }
+        shrunk.append(s)
+    samples = shrunk
+
+    keys = set(samples[0])
+    for s in samples[1:]:
+        keys &= set(s)
+    b = len(samples)
+    lengths = [s["coord"].shape[0] for s in samples]
     batch = {}
     for key in keys:
-        vals = [p[key] for p in padded]
+        vals = [s[key] for s in samples]
         if key == "cls_token":
             # per-scene shape category (PartSeg): scalar or 1-elem array
             batch[key] = np.asarray(
@@ -135,17 +152,38 @@ def collate_padded(
             if isinstance(vals[0], (int, float)):
                 batch[key] = np.asarray(vals)
             continue
-        if vals[0].shape[:1] != (num_points,) and key != "mask":
+        if any(v.shape[:1] != (n,) for v, n in zip(vals, lengths)) or (
+            key.startswith(("pc_", "origin_"))
+        ):
             continue  # per-scene full-res arrays don't batch to fixed shape
-        arr = np.stack(vals)
+        # one write per sample into the final [B, num_points, ...] buffer
+        # (pad + stack + dtype-cast as separate passes costs 3 copies;
+        # lang_feat at [2, 192k, 768] made collate slower than the model)
+        dtype = vals[0].dtype
         if cast_dtypes:
             if key in INT_KEYS:
-                arr = arr.astype(np.int32)
-            elif key in BOOL_KEYS or arr.dtype == bool:
-                arr = arr.astype(bool)
-            elif np.issubdtype(arr.dtype, np.floating):
-                arr = arr.astype(np.float32)
+                dtype = np.int32
+            elif key in BOOL_KEYS or dtype == bool:
+                dtype = np.dtype(bool)
+            elif dtype == np.float16:
+                # deliberate half-precision storage (SigLIP2 lang_feat,
+                # gs_datasets.py:37) ships to the device as-is — the f16->f32
+                # upcast is exact and free on device, but costs a 1.2 GB host
+                # write + 2x H2D at [2, 192k, 768]
+                pass
+            elif np.issubdtype(dtype, np.floating):
+                dtype = np.float32
+        fill = PAD_VALUES.get(key, 0)
+        arr = np.empty((b, num_points) + vals[0].shape[1:], dtype)
+        for i, v in enumerate(vals):
+            arr[i, : lengths[i]] = v
+            if lengths[i] < num_points:
+                arr[i, lengths[i]:] = fill
         batch[key] = arr
+    mask = np.zeros((b, num_points), bool)
+    for i, n in enumerate(lengths):
+        mask[i, :n] = True
+    batch["mask"] = mask
     return batch
 
 

@@ -139,7 +139,9 @@ def make_train_step(
         elif task == "lang":
             loss = criteria(
                 out.feat,
-                batch["lang_feat"],
+                # targets may arrive half-precision (collate ships SigLIP2
+                # lang_feat as f16); the upcast is exact
+                batch["lang_feat"].astype(jnp.float32),
                 valid_feat_mask=batch.get("valid_feat_mask"),
                 mask=out.mask,
                 segment=batch.get("segment"),

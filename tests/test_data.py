@@ -128,6 +128,30 @@ def test_collate_padded(rng):
     assert batch["segment"].dtype == np.int32
 
 
+def test_collate_dtypes_and_values(rng):
+    """Dtype contract: ints -> int32, floats -> float32 EXCEPT half-precision
+    stays f16 (SigLIP2 lang_feat ships to device as-is; the f16->f32 upcast
+    happens in the jitted step where it is exact and free); values equal a
+    naive pad+stack."""
+    samples = [random_scene(rng, n) for n in (100, 57)]
+    for s, n in zip(samples, (100, 57)):
+        s["lang_feat"] = s["lang_feat"].astype(np.float16)
+        s["valid_feat_mask"] = rng.random(n) > 0.5
+    batch = collate_padded(samples, num_points=128)
+    assert batch["lang_feat"].dtype == np.float16
+    assert batch["coord"].dtype == np.float32
+    assert batch["valid_feat_mask"].dtype == bool
+    for i, s in enumerate(samples):
+        n = s["coord"].shape[0]
+        for k in ("coord", "lang_feat", "segment", "valid_feat_mask"):
+            np.testing.assert_array_equal(
+                batch[k][i, :n], s[k].astype(batch[k].dtype)
+            )
+        assert not batch["mask"][i, n:].any()
+        np.testing.assert_array_equal(batch["segment"][i, n:], -1)
+        np.testing.assert_array_equal(batch["lang_feat"][i, n:], 0)
+
+
 def test_collate_mixing(rng):
     samples = [random_scene(rng, 50) for _ in range(4)]
     np.random.seed(0)
