@@ -141,3 +141,40 @@ def test_hash_plan_jits():
     np.testing.assert_array_equal(
         np.asarray(nbr)[v], np.asarray(ref.neighbor_index)[v]
     )
+
+
+def test_hash_plan_sharded_data_parallel():
+    """The build (insert/query while_loops + scatters) must compile and stay
+    exact when the batch is sharded over the virtual 8-device 'data' mesh —
+    scatter/gather indices never cross scene slabs, so GSPMD can partition
+    the [B*T, ...] table buffers along with the batch."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scenesplat_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(23)
+    b, n = 8, 192
+    coords = _unique_coords(rng, b, n, 3000)
+    mask = np.ones((b, n), bool)
+    mask[3, 150:] = False
+    gc = jnp.asarray(coords)
+    mk = jnp.asarray(mask)
+
+    mesh = create_mesh(len(jax.devices()))
+    shard = NamedSharding(mesh, P("data"))
+    gc_s = jax.device_put(gc, NamedSharding(mesh, P("data", None, None)))
+    mk_s = jax.device_put(mk, NamedSharding(mesh, P("data", None)))
+
+    @jax.jit
+    def f(gc, mk):
+        p = build_subm_conv_plan_hash(gc, mk, kernel_size=3)
+        return p.neighbor_index, p.neighbor_valid
+
+    nbr, vld = f(gc_s, mk_s)
+    ref = build_subm_conv_plan(gc, mk, kernel_size=3, depth=16)
+    v = np.asarray(ref.neighbor_valid)
+    np.testing.assert_array_equal(np.asarray(vld), v)
+    np.testing.assert_array_equal(
+        np.asarray(nbr)[v], np.asarray(ref.neighbor_index)[v]
+    )
