@@ -1006,7 +1006,14 @@ class GridSample:
                 )[member]
             for k in data_dict.keys():
                 if k in self.keys:
-                    frag[k] = gathered[k][pos] if num_frags > 1 else data_dict[k][member]
+                    # keys added inside the loop (inverse/displacement,
+                    # mirroring the reference's in-loop data_dict writes)
+                    # are absent from the pre-loop `gathered` snapshot;
+                    # index them directly like the reference does
+                    frag[k] = (
+                        gathered[k][pos] if k in gathered
+                        else data_dict[k][member]
+                    )
                 else:
                     frag[k] = data_dict[k]
             fragments.append(frag)

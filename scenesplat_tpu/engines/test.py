@@ -72,14 +72,25 @@ class TesterBase:
         if os.path.isfile(sidecar):
             with open(sidecar) as f:
                 prior = f.read().strip()
+        if prior is not None and prior != fp:
+            # DELETE the stale cache before re-stamping the sidecar: if the
+            # sidecar were updated with the old files still on disk, a crash
+            # mid-eval would leave them behind a now-matching fingerprint and
+            # a later resume would silently report the old weights' preds
+            import glob
+
+            stale = glob.glob(os.path.join(save_path, "*_pred.npy"))
+            for p in stale:
+                os.remove(p)
+            self.logger.warning(
+                f"{save_path} held {len(stale)} predictions from different "
+                f"weights ({prior} != {fp}); deleted"
+            )
+            with open(sidecar, "w") as f:
+                f.write(fp + "\n")
+            return False
         with open(sidecar, "w") as f:
             f.write(fp + "\n")
-        if prior is not None and prior != fp:
-            self.logger.warning(
-                f"{save_path} holds predictions from different weights "
-                f"({prior} != {fp}); ignoring cached *_pred.npy"
-            )
-            return False
         return True
 
 

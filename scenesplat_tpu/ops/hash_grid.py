@@ -261,6 +261,10 @@ def build_subm_conv_plan_hash(
     merge-join path.
     """
     assert kernel_size % 2 == 1
+    assert kernel_size <= 9, (
+        "the z-span [z-r, z+r] must fit two 8-cell z-blocks (k <= 9); "
+        "larger kernels would need a third probed block"
+    )
     assert depth <= 16, "block keys pack y<<14 | zb+1; depth > 16 overflows"
     b, n = mask.shape
     k = kernel_size

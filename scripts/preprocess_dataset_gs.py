@@ -106,18 +106,54 @@ DATASET_SPECS = {
 }
 
 
+def _min_volume_obb_frame(pc):
+    """Minimal-volume OBB axes via the hull-triangle heuristic Open3D's
+    ``get_minimal_oriented_bounding_box`` documents: for every convex-hull
+    triangle, take the hull's AABB in that triangle's frame; keep the
+    smallest-volume frame. Returns [3, 3] axis columns (falls back to PCA
+    axes when qhull is unavailable/degenerate)."""
+    try:
+        from scipy.spatial import ConvexHull
+
+        hull = ConvexHull(pc)
+        verts = pc[hull.vertices]  # [M, 3]
+        tris = pc[hull.simplices]  # [T, 3, 3]
+        e1 = tris[:, 1] - tris[:, 0]
+        e2 = tris[:, 2] - tris[:, 0]
+        z = np.cross(e1, e2)
+        zn = np.linalg.norm(z, axis=1)
+        x1n = np.linalg.norm(e1, axis=1)
+        ok = (zn > 1e-12) & (x1n > 1e-12)
+        z = z[ok] / zn[ok, None]
+        x = e1[ok] / x1n[ok, None]
+        y = np.cross(z, x)
+        frames = np.stack([x, y, z], axis=-1)  # [T, 3, 3] axis columns
+        proj = np.einsum("mi,tij->tmj", verts, frames)  # [T, M, 3]
+        ext = proj.max(1) - proj.min(1)
+        best = int(np.argmin(ext.prod(1)))
+        return frames[best]
+    except Exception:
+        cov = np.cov((pc - pc.mean(0)).T)
+        _, axes = np.linalg.eigh(cov)
+        return axes
+
+
 def pca_obb_mask(pc_coord, gs_coord, enlargement):
-    """Boolean keep-mask of gaussians inside the PCA oriented bounding box of
-    the fused cloud, extended by ``enlargement`` meters per face (reference
-    o3d minimal-OBB + extent + 2*enlargement, preprocess_scannet_gs.py:
-    236-241, 311)."""
+    """Boolean keep-mask of gaussians inside the minimal-volume oriented
+    bounding box of the fused cloud, extended by ``enlargement`` meters per
+    face (reference: o3d get_minimal_oriented_bounding_box + extent +
+    2*enlargement, preprocess_scannet_gs.py:235-241, 311). The box axes come
+    from the same hull-triangle-frame search o3d documents — a PCA box is
+    NOT a superset of the minimal OBB and could prune gaussians the
+    reference keeps."""
     pc = np.asarray(pc_coord, np.float64)
-    center = pc.mean(0)
-    cov = np.cov((pc - center).T)
-    _, axes = np.linalg.eigh(cov)  # columns = box axes
-    proj = (pc - center) @ axes
-    lo, hi = proj.min(0) - enlargement, proj.max(0) + enlargement
-    gproj = (np.asarray(gs_coord, np.float64) - center) @ axes
+    axes = _min_volume_obb_frame(pc)
+    proj = pc @ axes
+    lo, hi = proj.min(0), proj.max(0)
+    # o3d's box is centered on the hull extents; enlarging the extent by
+    # 2*enlargement adds `enlargement` per face
+    lo, hi = lo - enlargement, hi + enlargement
+    gproj = np.asarray(gs_coord, np.float64) @ axes
     return np.all((gproj >= lo) & (gproj <= hi), axis=1)
 
 

@@ -265,3 +265,32 @@ def test_matterport160_loader_accepts_reference_names(tmp_path):
     data = ds.get_data(0)
     np.testing.assert_array_equal(data["segment"], np.arange(n))
     assert data["segment"].dtype == np.int32
+
+
+def test_min_volume_obb_recovers_rotated_box():
+    """A rotated box of points: the hull-triangle OBB must recover ~the
+    box's own volume (a PCA box on such data can be >1.5x larger), and the
+    mask must keep exactly the points inside the rotated slab."""
+    from scripts.preprocess_dataset_gs import _min_volume_obb_frame
+
+    rng = np.random.default_rng(11)
+    # box 4 x 2 x 1, rotated by an arbitrary rotation
+    pts = rng.uniform([-2, -1, -0.5], [2, 1, 0.5], (4000, 3))
+    a, b, c = 0.7, 0.4, 1.1
+    rx = np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]])
+    ry = np.array([[np.cos(b), 0, np.sin(b)], [0, 1, 0], [-np.sin(b), 0, np.cos(b)]])
+    rz = np.array([[np.cos(c), -np.sin(c), 0], [np.sin(c), np.cos(c), 0], [0, 0, 1]])
+    rot = rz @ ry @ rx
+    pc = (pts @ rot.T + np.array([5.0, -3.0, 2.0])).astype(np.float64)
+
+    axes = _min_volume_obb_frame(pc)
+    proj = pc @ axes
+    vol = np.prod(proj.max(0) - proj.min(0))
+    true_vol = np.prod(pts.max(0) - pts.min(0))
+    assert vol <= true_vol * 1.05  # recovered the box frame (PCA would not)
+
+    # mask semantics: inside-points kept, a point just past a face+margin cut
+    inside = pc[:100]
+    outside = (np.array([[2.6, 0, 0]]) @ rot.T) + np.array([5.0, -3.0, 2.0])
+    mask = pca_obb_mask(pc, np.concatenate([inside, outside]), enlargement=0.25)
+    assert mask[:100].all() and not mask[100]
