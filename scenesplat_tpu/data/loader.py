@@ -35,6 +35,8 @@ class Loader:
         num_workers: int = 4,
         drop_last: bool = True,
         collate_fn=None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -46,8 +48,26 @@ class Loader:
         self.drop_last = drop_last
         self.collate_fn = collate_fn
         self.epoch = 0
+        # Multi-host: batch_size is GLOBAL; every process computes the same
+        # shuffled index order and fetches only its contiguous row block
+        # (parallel/mesh.py:local_batch_slice — reference DistributedSampler
+        # semantics, each rank loads 1/world_size of every batch). Defaults
+        # resolve from the jax runtime at iteration time; explicit args make
+        # the slicing unit-testable without a multi-process run.
+        self._process_index = process_index
+        self._process_count = process_count
         # Mix3D consumes two source samples per batch slot (see collate)
         self.samples_per_batch = batch_size * (2 if mix_prob > 0 else 1)
+
+    def _process_rank(self):
+        if self._process_count is not None:
+            return self._process_index or 0, self._process_count
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:
+            return 0, 1
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -75,12 +95,23 @@ class Loader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._index_order()
         nb = len(self)
+        pid, pc = self._process_rank()
+        spb = self.samples_per_batch
+        if pc > 1:
+            assert spb % pc == 0, (
+                f"global batch of {spb} samples must divide {pc} processes"
+            )
+            assert self.drop_last, (
+                "multi-host training requires drop_last (a short final batch "
+                "cannot split evenly across processes)"
+            )
+        local_spb = spb // pc
         with ThreadPoolExecutor(self.num_workers) as pool:
             pending = queue.Queue()
 
             def submit(bi):
-                spb = self.samples_per_batch
                 batch_idx = order[bi * spb : (bi + 1) * spb]
+                batch_idx = batch_idx[pid * local_spb : (pid + 1) * local_spb]
                 futures = [pool.submit(self._fetch, int(i)) for i in batch_idx]
                 pending.put(futures)
 

@@ -234,9 +234,12 @@ class CheckpointLoader(HookBase):
         if mesh is not None and mesh.size > 1:
             import jax
 
-            from scenesplat_tpu.parallel.mesh import replicated
+            from scenesplat_tpu.parallel.mesh import put_global, replicated
 
-            new_state = jax.device_put(new_state, replicated(mesh))
+            sharding = replicated(mesh)
+            new_state = jax.tree_util.tree_map(
+                lambda x: put_global(x, sharding), new_state
+            )
         self.trainer.state = new_state
         self.trainer.logger.info(
             f"checkpoint loaded (resume={resume}, epoch={self.trainer.start_epoch})"

@@ -328,10 +328,13 @@ class DefaultSSLPreTrainer(Trainer):
     # Trainer.__init__ compatibility: it calls build_model(model_cfg) and
     # make_train_step; we intercept via the hooks below.
     def run_step(self, batch, sharding):
+        # local rows -> global sharded arrays (multi-host safe, see Trainer)
+        from scenesplat_tpu.parallel.mesh import put_global
+
         device_batch = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray) and v.ndim >= 1:
-                device_batch[k] = jax.device_put(v, sharding)
+                device_batch[k] = put_global(v, sharding)
             else:
                 device_batch[k] = v
         # host-side step mirror: fetching state.step here would block on the

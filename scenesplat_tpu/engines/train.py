@@ -28,7 +28,9 @@ from scenesplat_tpu.engines.train_step import (
     point_from_batch,
 )
 from scenesplat_tpu.models import build_criteria, build_model
-from scenesplat_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
+from scenesplat_tpu.parallel.mesh import (
+    batch_sharding, create_mesh, put_global, replicated,
+)
 from scenesplat_tpu.utils.events import EventStorage
 from scenesplat_tpu.utils.logger import get_root_logger
 from scenesplat_tpu.utils.optimizer import build_optimizer, build_scheduler
@@ -296,13 +298,16 @@ class Trainer(TrainerBase):
             self.storage.step()
 
     def run_step(self, batch, sharding):
+        # batches hold this process's LOCAL rows (the loaders slice by
+        # parallel.mesh.local_batch_slice); put_global assembles the global
+        # sharded array on multi-host runs and is a plain device_put on one
         device_batch = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray) and v.ndim >= 1:
-                device_batch[k] = jax.device_put(v, sharding)
+                device_batch[k] = put_global(v, sharding)
             else:
                 device_batch[k] = v
-        device_batch["epoch_progress"] = jax.device_put(
+        device_batch["epoch_progress"] = put_global(
             np.float32((self.epoch + 1) / max(self.max_epoch, 1)),
             replicated(self.mesh),
         )

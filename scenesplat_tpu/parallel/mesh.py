@@ -68,12 +68,39 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a pytree of [B, ...] arrays with B sharded over the mesh."""
-    sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
+def local_batch_slice(n_global: int) -> slice:
+    """Rows of a [B_global, ...] batch owned by this process. The data axis
+    is process-major (create_mesh lays devices out in jax.devices() order),
+    so each process owns one contiguous row block — the loaders fetch only
+    these rows on multi-host runs (reference DistributedSampler semantics,
+    pointcept/engines/defaults.py:142-152)."""
+    pc, pid = jax.process_count(), jax.process_index()
+    assert n_global % pc == 0, (
+        f"global batch {n_global} must divide process count {pc}"
     )
+    per = n_global // pc
+    return slice(pid * per, (pid + 1) * per)
+
+
+def put_global(x, sharding: NamedSharding):
+    """Place host data under a (possibly multi-process) sharding.
+
+    Single-process: plain device_put. Multi-process: a cross-process
+    sharding is not fully addressable, so device_put is illegal — build the
+    global array from this process's LOCAL rows via
+    jax.make_array_from_process_local_data (for replicated specs the local
+    data IS the global value, same on every process)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a pytree of [B, ...] arrays with B sharded over the mesh. On
+    multi-host runs the inputs must be this process's LOCAL rows
+    (local_batch_slice of the global batch)."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sharding), batch)
 
 
 def context_mesh(
@@ -110,8 +137,8 @@ def shard_point_batch(point, mesh: Mesh):
     """
     seq_s = sequence_sharding(mesh)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, seq_s)
+        lambda x: put_global(x, seq_s)
         if getattr(x, "ndim", 0) >= 2
-        else jax.device_put(x, NamedSharding(mesh, P())),
+        else put_global(x, NamedSharding(mesh, P())),
         point,
     )
