@@ -75,6 +75,17 @@ def lang_test_transform_and_cfg(grid_sample_keys, feat_keys=GS_FEAT_KEYS):
     """Fragment-inference test pipeline: dedup 1 cm GridSample with inverse,
     then mode="test" 2 cm voxelization into complementary fragments
     (reference config l.222-301)."""
+    # lang_feat/valid_feat_mask are dropped from the per-fragment path: no
+    # tester/extractor consumes them (ours mirrors the reference, whose
+    # ZeroShotSemSegTester never reads input_dict["lang_feat"] either — the
+    # reference config's Collect of it, l.279-301, is dead weight). The
+    # tester's masking uses the full-res origin_feat_mask Copy'd above.
+    # Skipping them removes a per-scene [N, 768] f16 sorted gather (~1.3 s
+    # at 698k points on a 1-core host) and ~0.25 GB of H2D per fragment.
+    _frag_keys = tuple(
+        k for k in grid_sample_keys
+        if k not in ("segment", "lang_feat", "valid_feat_mask")
+    )
     transform = [
         dict(type="CenterShift", apply_z=True),
         dict(type="NormalizeColor"),
@@ -82,22 +93,17 @@ def lang_test_transform_and_cfg(grid_sample_keys, feat_keys=GS_FEAT_KEYS):
              keys_dict={"segment": "origin_segment", "coord": "origin_coord",
                         "valid_feat_mask": "origin_feat_mask"}),
         dict(type="GridSample", grid_size=0.01, hash_type="fnv", mode="train",
-             keys=tuple(k for k in grid_sample_keys if k != "segment"),
-             return_inverse=True),
+             keys=_frag_keys, return_inverse=True),
     ]
     test_cfg = dict(
         voxelize=dict(type="GridSample", grid_size=0.02, hash_type="fnv",
-                      mode="test",
-                      keys=tuple(k for k in grid_sample_keys
-                                 if k != "segment"),
-                      return_grid_coord=True),
+                      mode="test", keys=_frag_keys, return_grid_coord=True),
         crop=None,
         post_transform=[
             dict(type="CenterShift", apply_z=False),
             dict(type="ToTensor"),
             dict(type="Collect",
-                 keys=("coord", "grid_coord", "index", "lang_feat",
-                       "valid_feat_mask"),
+                 keys=("coord", "grid_coord", "index"),
                  feat_keys=feat_keys),
         ],
         aug_transform=[[dict(type="RandomRotateTargetAngle", angle=[0],

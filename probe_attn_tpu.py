@@ -4,6 +4,7 @@ New-kernel discipline (CLAUDE.md): interpret-mode tests can't catch Mosaic
 layout errors, so any Pallas change gets a real-TPU grad compile probe
 before landing.
 """
+import os
 import time
 
 import numpy as np
@@ -18,17 +19,28 @@ import jax.numpy as jnp
 from scenesplat_tpu.ops.pallas_attn import flash_window_attention
 from scenesplat_tpu.ops.window_attention import window_attention_reference
 
-R = 8
+R = int(os.environ.get("SCENESPLAT_PROBE_R", 8))
+SCALE = int(os.environ.get("SCENESPLAT_PROBE_SCALE", 1))
 rng = np.random.default_rng(0)
+
+# CPU smoke: Pallas only runs in interpret mode off-TPU; enter the context
+# so the script's logic (shapes, grads, comparisons) is still exercised.
+if jax.default_backend() != "tpu":
+    from jax.experimental.pallas import tpu as pltpu
+
+    _interp = pltpu.force_tpu_interpret_mode()
+    _interp.__enter__()
+    print("non-TPU backend: running Pallas in interpret mode (smoke only)")
 
 
 def timed(fn, *args, iters=6):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # scalar host fetch = only true sync on the tunneled runtime
+    # (block_until_ready is a no-op there; all timed fns return scalars)
+    float(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -41,7 +53,8 @@ def noop(x):
 t_floor = timed(noop, jnp.zeros((), jnp.float32))
 print(f"floor {t_floor*1e3:6.2f} ms", flush=True)
 
-for (n, c, h) in [(32768, 768, 16), (32768, 32, 2), (4096, 256, 16),
+for (n, c, h) in [(32768 // SCALE, 768, 16), (32768 // SCALE, 32, 2),
+                  (4096, 256, 16),
                   (4096, 192, 3)]:  # 192-lane full-C fallback tile (Mosaic)
     qkv = jnp.asarray(rng.normal(size=(1, n, 3, c)), jnp.bfloat16)
     valid = jnp.ones((1, n), bool)

@@ -1,4 +1,5 @@
 """Forward-time breakdown at 32k: staged geometry pieces vs network program."""
+import os
 import time
 
 import numpy as np
@@ -14,7 +15,7 @@ from __graft_entry__ import FLAGSHIP_BACKBONE, _make_inputs
 from scenesplat_tpu.models import PointBatch, build_model
 from scenesplat_tpu.models.ptv3 import PointTransformerV3
 
-N = 32768
+N = int(os.environ.get("SCENESPLAT_PROBE_N", 32768))
 backbone = dict(FLAGSHIP_BACKBONE, dtype=jnp.bfloat16)
 model = build_model(dict(type="LangPretrainer", backbone=backbone))
 rng = np.random.default_rng(0)

@@ -8,6 +8,7 @@ Current form: 27x [gather -> matmul -> accumulate] unrolled. Measured
   c) triple-grouped: [N, 3C] x [3C, C] (9 matmuls)
   d) bf16 accumulation (accumulate in bf16 instead of fp32)
 """
+import os
 import time
 
 import numpy as np
@@ -21,7 +22,8 @@ import jax.numpy as jnp
 
 from scenesplat_tpu.ops.subm_conv import SubMConvPlan, subm_conv_apply, _gather_rows_masked
 
-R = 8
+R = int(os.environ.get("SCENESPLAT_PROBE_R", 8))
+SCALE = int(os.environ.get("SCENESPLAT_PROBE_SCALE", 1))
 rng = np.random.default_rng(0)
 
 
@@ -117,7 +119,7 @@ variants = [
     ("single fused gather", apply_single_gather),
 ]
 
-for (N, C) in [(32768, 768), (32768, 32)]:
+for (N, C) in [(32768 // SCALE, 768), (32768 // SCALE, 32)]:
     K3 = 27
     feat = jnp.asarray(rng.normal(size=(1, N, C)), jnp.bfloat16)
     nbr = jnp.asarray(rng.integers(0, N, size=(1, K3, N)), jnp.int32)

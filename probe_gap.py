@@ -5,6 +5,7 @@ If chained R-rep time/R << bench per-iter time, the bench is dispatch-bound
 (tunnel RPC / host overhead), not device-bound — the fix is batching steps
 per dispatch, not faster kernels.
 """
+import os
 import time
 
 import numpy as np
@@ -20,8 +21,8 @@ from __graft_entry__ import FLAGSHIP_BACKBONE, _make_inputs
 from scenesplat_tpu.models import PointBatch, build_model
 from scenesplat_tpu.models.ptv3 import PointTransformerV3
 
-N = 32768
-R = 8
+N = int(os.environ.get("SCENESPLAT_PROBE_N", 32768))
+R = int(os.environ.get("SCENESPLAT_PROBE_R", 8))
 backbone = dict(FLAGSHIP_BACKBONE, dtype=jnp.bfloat16)
 model = build_model(dict(type="LangPretrainer", backbone=backbone))
 rng = np.random.default_rng(0)

@@ -5,6 +5,7 @@ program via fori_loop (data-dependent carry), scalar output. Wall time / R,
 with a no-op dispatch-floor program subtracted.
 """
 import functools
+import os
 import sys
 import time
 
@@ -21,7 +22,8 @@ from scenesplat_tpu.ops.subm_conv import SubMConvPlan, subm_conv_apply
 from scenesplat_tpu.ops.window_attention import window_attention
 from scenesplat_tpu.ops.serialization import take_along_points
 
-R = 32
+R = int(os.environ.get("SCENESPLAT_PROBE_R", 32))
+SCALE = int(os.environ.get("SCENESPLAT_PROBE_SCALE", 1))  # divide stage N for CPU smoke
 DTYPE = jnp.bfloat16
 
 rng = np.random.default_rng(0)
@@ -70,6 +72,7 @@ def bench_conv(n, c, k3=27):
 
 
 def bench_attn(n, c, h, k=1024):
+    k = min(k, n)  # CPU smoke shrinks n below the flagship patch size
     qkv = jnp.asarray(rng.normal(size=(1, n, 3, c)), DTYPE)
     valid = jnp.ones((1, n), bool)
 
@@ -158,6 +161,7 @@ STAGES = [
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
 total = {}
 for name, n, c, h, depth in STAGES:
+    n = max(n // SCALE, 128)
     print(f"--- {name} x{depth}")
     tc = bench_conv(n, c) if which in ("all", "conv") else 0
     ta = bench_attn(n, c, h) if which in ("all", "attn") else 0

@@ -11,6 +11,7 @@ Decision: adopt SCENESPLAT_RADIX_SORT=1 if radix is runtime-competitive
 VERDICT item 4 with the measurements.
 """
 
+import os
 import time
 
 import numpy as np
@@ -46,7 +47,11 @@ def timed_run(compiled, args, reps=20):
 
 def main():
     rng = np.random.default_rng(0)
-    for n in (32768, 65536, 131072, 262144, 1 << 20):
+    cap = int(os.environ.get("SCENESPLAT_PROBE_N", 1 << 20))
+    sizes = [n for n in (32768, 65536, 131072, 262144, 1 << 20) if n <= cap]
+    if not sizes:
+        sizes = [cap]
+    for n in sizes:
         keys = jnp.asarray(
             rng.integers(0, 1 << 30, size=(1, n), dtype=np.uint32))
         p1 = jnp.asarray(rng.integers(0, n, size=(1, n), dtype=np.int32))

@@ -25,8 +25,12 @@ def setup_compilation_cache(path: str = "/tmp/scenesplat_jax_cache"):
     XLA-TPU sort compiles are expensive (seconds to minutes per shape); the
     framework re-uses shapes heavily, so the on-disk cache pays for itself on
     the second run. Called by bench.py / tools entry points.
+
+    Also honors SCENESPLAT_PLATFORM so every entry point that sets up the
+    cache (probes included) can be forced onto CPU for smoke runs.
     """
     import jax
 
+    apply_platform_env()
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

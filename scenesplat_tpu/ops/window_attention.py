@@ -64,6 +64,26 @@ def _pallas_probe_ok(patch_size: int, num_heads: int, c: int,
         return False
 
 
+def _masked_softmax(scores, key_valid):
+    """Masked-exp softmax: e = where(valid, exp(s - max_valid), 0).
+
+    TPU_TODO item 7 variant: replaces the -1e9 bias add + full softmax with a
+    select around exp, saving one K-wide add and letting the max/sum reduce
+    run over the same select mask. Rows with zero valid keys produce zeros
+    (the biased softmax produces uniform junk there; both are masked
+    downstream, but zeros keep the backward NaN-free without a bias tensor).
+    Enabled via SCENESPLAT_MASKED_EXP=1 (read at trace time).
+    """
+    valid = key_valid[..., None, None, :]
+    m = jnp.max(jnp.where(valid, scores, -jnp.inf), axis=-1, keepdims=True)
+    m = jnp.maximum(m, jnp.float32(-1e30))  # all-invalid rows: finite shift
+    # clamp the exponent to <= 0: exact for valid entries (m is their max),
+    # and keeps exp's primal finite at masked entries so its VJP never
+    # multiplies a zero cotangent by inf (NaN)
+    e = jnp.where(valid, jnp.exp(jnp.minimum(scores - m, 0.0)), 0.0)
+    return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+
+
 def _patch_attention(q, k, v, key_valid, scale, upcast_softmax=True):
     """q,k,v: [..., K, H, D]; key_valid: [..., K] bool."""
     qh = jnp.swapaxes(q, -2, -3)  # [..., H, K, D]
@@ -72,11 +92,16 @@ def _patch_attention(q, k, v, key_valid, scale, upcast_softmax=True):
     scores = jnp.einsum(
         "...hqd,...hkd->...hqk", qh * scale, kh, preferred_element_type=jnp.float32
     )
-    bias = jnp.where(key_valid[..., None, None, :], 0.0, NEG_INF)
-    scores = scores + bias
-    if upcast_softmax:
-        scores = scores.astype(jnp.float32)
-    attn = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
+    if os.environ.get("SCENESPLAT_MASKED_EXP") == "1":
+        attn = _masked_softmax(scores.astype(jnp.float32), key_valid).astype(
+            vh.dtype
+        )
+    else:
+        bias = jnp.where(key_valid[..., None, None, :], 0.0, NEG_INF)
+        scores = scores + bias
+        if upcast_softmax:
+            scores = scores.astype(jnp.float32)
+        attn = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
     out = jnp.einsum(
         "...hqk,...hkd->...hqd", attn, vh, preferred_element_type=jnp.float32
     ).astype(vh.dtype)

@@ -1656,6 +1656,120 @@ def convert_octformer_checkpoint(
     return params, batch_stats, report
 
 
+def export_ptv3_lang_checkpoint(
+    params,
+    batch_stats,
+    backbone_prefix: str = "backbone.",
+    flax_backbone_key: str = "backbone_module",
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_ptv3_lang_checkpoint`: emit a reference-
+    loadable torch state dict (numpy values) from flax params/batch_stats.
+
+    Lets models trained here migrate BACK to the reference stack
+    (pointcept/models/point_transformer_v3/point_transformer_v3m1_base.py:518
+    key layout; ``model.load_state_dict(..., strict=True)`` round-trips in
+    tests/test_export_bridge.py). SubMConv kernels are emitted in spconv2's
+    [k, k, k, in, out] layout — the same layout the import goldens pin via
+    the executable spconv stub (tests/ref_exec_stubs.py) — and every
+    BatchNorm gets an int64 ``num_batches_tracked`` zero so strict loads
+    succeed.
+    """
+    out: Dict[str, np.ndarray] = {}
+    bb_params = params.get(flax_backbone_key, params) if flax_backbone_key \
+        else params
+    bb_stats = (batch_stats.get(flax_backbone_key, batch_stats)
+                if flax_backbone_key else batch_stats)
+
+    def get(fpath, stats=False):
+        v = _lookup(bb_stats if stats else bb_params, fpath)
+        return None if v is None else np.asarray(v)
+
+    def put(tkey, value):
+        out[backbone_prefix + tkey] = np.asarray(value)
+
+    def put_dense(tkey, fpath):
+        w = get(fpath + ("kernel",))
+        if w is None:
+            return
+        put(tkey + ".weight", w.T)
+        b = get(fpath + ("bias",))
+        if b is not None:
+            put(tkey + ".bias", b)
+
+    def put_ln(tkey, fpath):
+        w = get(fpath + ("scale",))
+        if w is None:
+            return
+        put(tkey + ".weight", w)
+        b = get(fpath + ("bias",))
+        if b is not None:
+            put(tkey + ".bias", b)
+
+    def put_bn(tkey, fpath):
+        put_ln(tkey, fpath)
+        rm = get(fpath + ("mean",), stats=True)
+        rv = get(fpath + ("var",), stats=True)
+        if rm is not None:
+            put(tkey + ".running_mean", rm)
+        if rv is not None:
+            put(tkey + ".running_var", rv)
+        if rm is not None or rv is not None:
+            put(tkey + ".num_batches_tracked", np.zeros((), np.int64))
+
+    def put_conv(tkey, fpath):
+        w = get(fpath + ("kernel",))
+        if w is None:
+            return
+        k3, cin, cout = w.shape
+        k = round(k3 ** (1 / 3))
+        assert k * k * k == k3, f"non-cubic conv kernel {w.shape}"
+        put(tkey + ".weight", w.reshape(k, k, k, cin, cout))
+        b = get(fpath + ("bias",))
+        if b is not None:
+            put(tkey + ".bias", b)
+
+    put_conv("embedding.stem.conv", ("embedding", "conv"))
+    put_bn("embedding.stem.norm", ("embedding", "norm"))
+    mt = get(("mask_token",))
+    if mt is not None:
+        put("mask_token", mt.reshape(1, -1))
+
+    for name in sorted(bb_params.keys()):
+        m = re.fullmatch(r"(enc|dec)(\d+)_block(\d+)", name)
+        if m:
+            side, s, i = m.group(1), m.group(2), m.group(3)
+            t = f"{side}.{side}{s}.block{i}"
+            put_conv(f"{t}.cpe.0", (name, "cpe_conv"))
+            put_dense(f"{t}.cpe.1", (name, "cpe_linear"))
+            put_ln(f"{t}.cpe.2", (name, "cpe_norm"))
+            put_ln(f"{t}.norm1.0", (name, "norm1"))
+            put_ln(f"{t}.norm2.0", (name, "norm2"))
+            put_dense(f"{t}.attn.qkv", (name, "attn", "qkv"))
+            put_dense(f"{t}.attn.proj", (name, "attn", "proj"))
+            rpe = get((name, "attn", "rpe_table"))
+            if rpe is not None:
+                put(f"{t}.attn.rpe.rpe_table", rpe)
+            put_dense(f"{t}.mlp.0.fc1", (name, "mlp", "fc1"))
+            put_dense(f"{t}.mlp.0.fc2", (name, "mlp", "fc2"))
+            continue
+        m = re.fullmatch(r"enc(\d+)_down", name)
+        if m:
+            s = m.group(1)
+            put_dense(f"enc.enc{s}.down.proj", (name, "proj"))
+            put_bn(f"enc.enc{s}.down.norm.0", (name, "norm"))
+            continue
+        m = re.fullmatch(r"dec(\d+)_up", name)
+        if m:
+            s = m.group(1)
+            put_dense(f"dec.dec{s}.up.proj.0", (name, "proj"))
+            put_bn(f"dec.dec{s}.up.proj.1", (name, "proj_norm"))
+            put_dense(f"dec.dec{s}.up.proj_skip.0", (name, "proj_skip"))
+            put_bn(f"dec.dec{s}.up.proj_skip.1", (name, "proj_skip_norm"))
+            continue
+
+    return out
+
+
 def _lookup(tree, path):
     node = tree
     for p in path:

@@ -140,3 +140,29 @@ def test_pallas_gradients_match(rng):
         g_pallas = np.asarray(jax.grad(loss_pallas)(x))
     g_ref = np.asarray(jax.grad(loss_ref)(x))
     np.testing.assert_allclose(g_pallas, g_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_masked_exp_variant_matches(rng, monkeypatch):
+    """SCENESPLAT_MASKED_EXP=1 (TPU_TODO item 7): same values + grads on
+    valid positions; fully-invalid patches stay finite in fwd and bwd."""
+    qkv, valid = make_inputs(rng)  # includes fully-invalid patches in b=1
+    patch, heads = 32, 4
+    x, vj = jnp.asarray(qkv), jnp.asarray(valid)
+    mask_f = vj[..., None].astype(jnp.float32)
+
+    def loss(x):
+        o = wa.window_attention_reference(x, vj, patch, heads)
+        return jnp.sum((o * mask_f) ** 2)
+
+    monkeypatch.delenv("SCENESPLAT_MASKED_EXP", raising=False)
+    o_ref = np.asarray(wa.window_attention_reference(x, vj, patch, heads))
+    g_ref = np.asarray(jax.grad(loss)(x))
+
+    monkeypatch.setenv("SCENESPLAT_MASKED_EXP", "1")
+    o_me = np.asarray(wa.window_attention_reference(x, vj, patch, heads))
+    g_me = np.asarray(jax.grad(loss)(x))
+
+    m = valid
+    np.testing.assert_allclose(o_me[m], o_ref[m], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(g_me, g_ref, rtol=1e-4, atol=1e-5)
+    assert np.isfinite(o_me).all() and np.isfinite(g_me).all()
