@@ -312,6 +312,90 @@ def convert_spunet_checkpoint(
     return params, batch_stats, report
 
 
+def export_spunet_checkpoint(
+    params,
+    batch_stats,
+    backbone_prefix: str = "backbone.",
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_spunet_checkpoint`: reference-loadable torch
+    state dict (spconv_unet_v1m1_base.py:88-280 key layout) from flax trees.
+    Conv kernels go out in spconv2's [k, k, k, in, out] layout (the layout
+    the import goldens pin via tests/ref_exec_stubs.py); 1x1 convs
+    (``final``) as [1, 1, 1, in, out]; BatchNorms get int64
+    ``num_batches_tracked`` zeros so ``load_state_dict(strict=True)``
+    round-trips (tests/test_export_bridge.py).
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def get(fpath, stats=False):
+        v = _lookup(batch_stats if stats else params, fpath)
+        return None if v is None else np.asarray(v)
+
+    def put(tkey, value):
+        out[backbone_prefix + tkey] = np.asarray(value)
+
+    def put_bn(tkey, fpath):
+        w = get(fpath + ("norm", "scale"))
+        if w is None:
+            return
+        put(tkey + ".weight", w)
+        put(tkey + ".bias", get(fpath + ("norm", "bias")))
+        put(tkey + ".running_mean", get(fpath + ("norm", "mean"), stats=True))
+        put(tkey + ".running_var", get(fpath + ("norm", "var"), stats=True))
+        put(tkey + ".num_batches_tracked", np.zeros((), np.int64))
+
+    def put_conv(tkey, fpath):
+        w = get(fpath + ("kernel",))
+        if w is None:
+            return
+        k3, cin, cout = w.shape
+        k = round(k3 ** (1 / 3))
+        assert k * k * k == k3, f"non-cubic conv kernel {w.shape}"
+        put(tkey + ".weight", w.reshape(k, k, k, cin, cout))
+        b = get(fpath + ("bias",))
+        if b is not None:
+            put(tkey + ".bias", b)
+
+    def put_pointwise(tkey, fpath):
+        w = get(fpath + ("kernel",))
+        if w is None:
+            return
+        put(tkey + ".weight", w.reshape(1, 1, 1, *w.shape))
+        b = get(fpath + ("bias",))
+        if b is not None:
+            put(tkey + ".bias", b)
+
+    put_conv("conv_input.0", ("conv_input",))
+    put_bn("conv_input.1", ("norm_input",))
+    put_pointwise("final", ("final",))
+
+    for name in sorted(params.keys()):
+        m = re.fullmatch(r"down(\d+)", name)
+        if m:
+            s = m.group(1)
+            put_conv(f"down.{s}.0", (name,))
+            put_bn(f"down.{s}.1", (f"down{s}_norm",))
+            continue
+        m = re.fullmatch(r"up(\d+)", name)
+        if m:
+            s = m.group(1)
+            put_conv(f"up.{s}.0", (name,))
+            put_bn(f"up.{s}.1", (f"up{s}_norm",))
+            continue
+        m = re.fullmatch(r"(enc|dec)(\d+)_block(\d+)", name)
+        if m:
+            t = f"{m.group(1)}.{m.group(2)}.block{m.group(3)}"
+            put_conv(f"{t}.conv1", (name, "conv1"))
+            put_conv(f"{t}.conv2", (name, "conv2"))
+            put_bn(f"{t}.bn1", (name, "bn1"))
+            put_bn(f"{t}.bn2", (name, "bn2"))
+            put_pointwise(f"{t}.proj.0", (name, "proj"))
+            put_bn(f"{t}.proj.1", (name, "proj_norm"))
+            continue
+
+    return out
+
+
 def convert_ptv2_checkpoint(
     torch_state: Dict[str, np.ndarray],
     params_template,

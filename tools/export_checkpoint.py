@@ -39,7 +39,10 @@ def main():
     import torch
 
     from scenesplat_tpu.models import PointBatch, build_model
-    from scenesplat_tpu.utils.ckpt_bridge import export_ptv3_lang_checkpoint
+    from scenesplat_tpu.utils.ckpt_bridge import (
+        export_ptv3_lang_checkpoint,
+        export_spunet_checkpoint,
+    )
     from scenesplat_tpu.utils.config import Config
 
     cfg = Config.fromfile(args.config_file)
@@ -80,12 +83,24 @@ def main():
         np.asarray, payload.get("batch_stats", {}) or {}
     )
 
-    if model_type in (None, "PT-v3m1"):
+    bb_type = backbone_cfg.get("type", model_type)
+    if model_type in (None, "PT-v3m1", "SpUNet-v1m1"):
         prefix, bb_key = "", ""
     else:
         prefix, bb_key = "backbone.", "backbone_module"
-    state = export_ptv3_lang_checkpoint(
-        params, bstats, backbone_prefix=prefix, flax_backbone_key=bb_key)
+    if bb_type and bb_type.startswith("SpUNet"):
+        bb_params = params.get(bb_key, params) if bb_key else params
+        bb_stats = bstats.get(bb_key, bstats) if bb_key else bstats
+        state = export_spunet_checkpoint(
+            bb_params, bb_stats, backbone_prefix=prefix)
+    elif bb_type and bb_type.startswith("PT-v3"):
+        state = export_ptv3_lang_checkpoint(
+            params, bstats, backbone_prefix=prefix, flax_backbone_key=bb_key)
+    else:
+        raise SystemExit(
+            f"export not implemented for backbone type {bb_type!r} "
+            "(supported: PT-v3m1, SpUNet-v1m1)"
+        )
 
     # non-backbone heads: DefaultSegmentorV2's linear seg head
     if "seg_head" in params:
