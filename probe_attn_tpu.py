@@ -91,10 +91,13 @@ for (n, c, h) in [(32768 // SCALE, 768, 16), (32768 // SCALE, 32, 2),
         jnp.max(jnp.abs(o_pallas.astype(jnp.float32) - o_ref.astype(jnp.float32)))
     )
     t_f = (timed(fwd, qkv, valid) - t_floor) / R
-    t_b = (timed(bwd, qkv, valid) - t_floor) / R
     gf = 4 * n * 1024 * c / t_f / 1e9
+    # print fwd before attempting bwd so a bwd compile failure still
+    # leaves the fwd numbers on record (the r3 VMEM-OOM lost them)
     print(
         f"N={n} C={c} H={h}: max|err|={err:.4f}  fwd {t_f*1e3:7.2f} ms "
-        f"({gf:,.0f} GF/s)  fwd+bwd {t_b*1e3:7.2f} ms", flush=True
+        f"({gf:,.0f} GF/s)", flush=True
     )
+    t_b = (timed(bwd, qkv, valid) - t_floor) / R
+    print(f"  fwd+bwd {t_b*1e3:7.2f} ms", flush=True)
 print("OK")

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -95,7 +96,7 @@ def _fwd_kernel(qkv_ref, valid_ref, o_ref, *, scale, heads_per_group):
 
 
 def _bwd_kernel(qkv_ref, valid_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                scale, heads_per_group):
+                scale, heads_per_group, row_tile):
     valid = valid_ref[0, 0, 0, :]
 
     @pl.when(valid[0] == 0)
@@ -106,49 +107,64 @@ def _bwd_kernel(qkv_ref, valid_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
 
     @pl.when(valid[0] > 0)
     def _live():
-        q = qkv_ref[0, 0, :, 0, :]
-        k = qkv_ref[0, 0, :, 1, :]
-        v = qkv_ref[0, 0, :, 2, :]
-        do = do_ref[0, 0, :, :]
-        d = q.shape[-1] // heads_per_group
+        # Query-row tiling: at Cg=384/H=8 the untiled kernel's per-head fp32
+        # [K, K] score temporaries co-live across the unrolled head loop and
+        # blow the scoped-vmem budget (measured 108.9 MB vs the v5e 128 MB
+        # VMEM). Recomputing the softmax per [row_tile, K] query stripe keeps
+        # every temporary <= row_tile*K fp32; dk/dv accumulate across stripes
+        # as fp32 loop carries, dq rows store directly per stripe.
+        k_full = qkv_ref[0, 0, :, 1, :]
+        v_full = qkv_ref[0, 0, :, 2, :]
+        kk, cg = k_full.shape
+        d = cg // heads_per_group
         bias = jnp.where(valid[None, :] > 0, 0.0, NEG_INF).astype(jnp.float32)
-        dqs, dks, dvs = [], [], []
-        for h in range(heads_per_group):
-            sl = slice(h * d, (h + 1) * d)
-            qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
-            pf = _head_softmax(qh, kh, bias, scale)
-            p = pf.astype(vh.dtype)
-            dvs.append(
-                jax.lax.dot_general(
-                    p, doh, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(dv_ref.dtype)
-            )
-            dp = jax.lax.dot_general(
-                doh, vh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            delta = jnp.sum(dp * pf, axis=-1, keepdims=True)
-            ds = (pf * (dp - delta)).astype(vh.dtype)
-            dqs.append(
-                (scale * jax.lax.dot_general(
-                    ds, kh, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )).astype(dq_ref.dtype)
-            )
-            dks.append(
-                (scale * jax.lax.dot_general(
-                    ds, qh, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )).astype(dk_ref.dtype)
-            )
 
         def cat(xs):
             return xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
 
-        dq_ref[0, 0, :, :] = cat(dqs)
-        dk_ref[0, 0, :, :] = cat(dks)
-        dv_ref[0, 0, :, :] = cat(dvs)
+        def stripe(t, carry):
+            dk_acc, dv_acc = carry  # [K, Cg] fp32
+            q_t = qkv_ref[0, 0, pl.ds(t * row_tile, row_tile), 0, :]
+            do_t = do_ref[0, 0, pl.ds(t * row_tile, row_tile), :]
+            dqs, dks, dvs = [], [], []
+            for h in range(heads_per_group):
+                sl = slice(h * d, (h + 1) * d)
+                qh, kh, vh, doh = q_t[:, sl], k_full[:, sl], v_full[:, sl], do_t[:, sl]
+                pf = _head_softmax(qh, kh, bias, scale)  # [RT, K] fp32
+                p = pf.astype(vh.dtype)
+                dvs.append(
+                    jax.lax.dot_general(
+                        p, doh, dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+                dp = jax.lax.dot_general(
+                    doh, vh, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                delta = jnp.sum(dp * pf, axis=-1, keepdims=True)
+                ds = (pf * (dp - delta)).astype(vh.dtype)
+                dqs.append(
+                    (scale * jax.lax.dot_general(
+                        ds, kh, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )).astype(dq_ref.dtype)
+                )
+                dks.append(
+                    scale * jax.lax.dot_general(
+                        ds, qh, dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            dq_ref[0, 0, pl.ds(t * row_tile, row_tile), :] = cat(dqs)
+            return dk_acc + cat(dks), dv_acc + cat(dvs)
+
+        dk_acc, dv_acc = jax.lax.fori_loop(
+            0, kk // row_tile, stripe,
+            (jnp.zeros((kk, cg), jnp.float32), jnp.zeros((kk, cg), jnp.float32)),
+        )
+        dk_ref[0, 0, :, :] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0, 0, :, :] = dv_acc.astype(dv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -217,12 +233,16 @@ def _fwa_bwd(patch_size, num_heads, scale, residuals, g):
     cg = _group_channels(c, d)
     groups = c // cg
     do = g.reshape(b, p, k, c)
+    row_tile = min(k, int(os.environ.get("SCENESPLAT_ATTN_BWD_TILE", "256")))
+    if k % row_tile:  # non-power-of-two patch: one full-window stripe
+        row_tile = k
     grad_spec = pl.BlockSpec((1, 1, k, cg), lambda i, j, gg: (i, j, 0, gg),
                              memory_space=pltpu.VMEM)
     grad_shape = jax.ShapeDtypeStruct((b, p, k, c), qkv5.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, scale=scale, heads_per_group=cg // d
+            _bwd_kernel, scale=scale, heads_per_group=cg // d,
+            row_tile=row_tile,
         ),
         grid=(b, p, groups),
         in_specs=[
@@ -234,8 +254,11 @@ def _fwa_bwd(patch_size, num_heads, scale, residuals, g):
         ],
         out_specs=[grad_spec, grad_spec, grad_spec],
         out_shape=[grad_shape, grad_shape, grad_shape],
+        # Measured demand at Cg=384/H=8/RT=256 is 74.4 MB (Mosaic does not
+        # reuse temporaries across the unrolled head loop); v5e VMEM is
+        # 128 MB/core, leave headroom for double-buffered blocks.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(qkv5, valid_p, do)
     # dq/dk/dv are [B, P, K, C]; qkv layout is [B, P, K, 3, C]
