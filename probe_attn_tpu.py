@@ -50,12 +50,18 @@ def noop(x):
     return x * 1.000001
 
 
+print(f"[{time.strftime('%H:%M:%S')}] compiling floor noop...", flush=True)
 t_floor = timed(noop, jnp.zeros((), jnp.float32))
-print(f"floor {t_floor*1e3:6.2f} ms", flush=True)
+print(f"[{time.strftime('%H:%M:%S')}] floor {t_floor*1e3:6.2f} ms", flush=True)
 
-for (n, c, h) in [(32768 // SCALE, 768, 16), (32768 // SCALE, 32, 2),
+# smallest-first: a pathological large-config compile must not block the
+# small-config numbers (the r3 zero-output hang lost the whole window)
+for (n, c, h) in [(4096, 192, 3),  # 192-lane full-C fallback tile (Mosaic)
                   (4096, 256, 16),
-                  (4096, 192, 3)]:  # 192-lane full-C fallback tile (Mosaic)
+                  (32768 // SCALE, 32, 2),
+                  (32768 // SCALE, 768, 16)]:
+    print(f"[{time.strftime('%H:%M:%S')}] config N={n} C={c} H={h}...",
+          flush=True)
     qkv = jnp.asarray(rng.normal(size=(1, n, 3, c)), jnp.bfloat16)
     valid = jnp.ones((1, n), bool)
 
