@@ -294,3 +294,152 @@ def test_min_volume_obb_recovers_rotated_box():
     outside = (np.array([[2.6, 0, 0]]) @ rot.T) + np.array([5.0, -3.0, 2.0])
     mask = pca_obb_mask(pc, np.concatenate([inside, outside]), enlargement=0.25)
     assert mask[:100].all() and not mask[100]
+
+
+def test_chunking_with_pc(tmp_path):
+    """KITTI-360 joint GS+PC chunking (reference kitti360/
+    sampling_chunking_data_gs_pc.py:10-167): pc_* assets ride the same BEV
+    tiles, masked by pc_coord recentred by its OWN min; chunk acceptance
+    counts Gaussians only."""
+    from scripts.sampling_chunking_data_gs import chunk_scene
+
+    rng = np.random.default_rng(3)
+    # GS cloud spanning x in [10, 22): two 6 m tiles at stride 6
+    n = 400
+    coord = np.stack([
+        rng.uniform(10, 22, n), rng.uniform(5, 11, n), rng.uniform(0, 2, n)
+    ], 1).astype(np.float32)
+    opacity = rng.random(n).astype(np.float32)
+    # eval cloud with a DIFFERENT offset (min differs from the GS min): the
+    # per-cloud recentring must align the two despite the offset
+    m = 250
+    pc_coord = np.stack([
+        rng.uniform(100, 112, m), rng.uniform(50, 56, m), rng.uniform(0, 2, m)
+    ], 1).astype(np.float32)
+    pc_segment = rng.integers(0, 19, m).astype(np.int64)
+
+    scene = tmp_path / "in" / "test" / "sceneA"
+    scene.mkdir(parents=True)
+    np.save(scene / "coord.npy", coord)
+    np.save(scene / "opacity.npy", opacity)
+    np.save(scene / "pc_coord.npy", pc_coord)
+    np.save(scene / "pc_segment.npy", pc_segment)
+
+    n_chunks = chunk_scene(
+        "sceneA", str(tmp_path / "in"), str(tmp_path / "out"), "test",
+        grid_size=None, chunk_range=(6, 6), chunk_stride=(6, 6),
+        chunk_minimum_size=10, with_pc=True,
+    )
+    assert n_chunks == 2
+    out_split = next((tmp_path / "out").iterdir())
+
+    c0 = coord - coord.min(0)
+    p0 = pc_coord - pc_coord.min(0)
+    for ci in range(2):
+        x0 = 6.0 * ci
+        gsel = ((c0[:, 0] >= x0) & (c0[:, 0] < x0 + 6)
+                & (c0[:, 1] >= 0) & (c0[:, 1] < 6))
+        psel = ((p0[:, 0] >= x0) & (p0[:, 0] < x0 + 6)
+                & (p0[:, 1] >= 0) & (p0[:, 1] < 6))
+        d = out_split / f"sceneA_{ci}"
+        np.testing.assert_array_equal(np.load(d / "coord.npy"), coord[gsel])
+        np.testing.assert_array_equal(np.load(d / "opacity.npy"),
+                                      opacity[gsel])
+        np.testing.assert_array_equal(np.load(d / "pc_coord.npy"),
+                                      pc_coord[psel])
+        np.testing.assert_array_equal(np.load(d / "pc_segment.npy"),
+                                      pc_segment[psel])
+        assert psel.sum() > 0  # the offset clouds actually overlap tiles
+
+
+def test_chunking_without_pc_ignores_pc_assets(tmp_path):
+    from scripts.sampling_chunking_data_gs import chunk_scene
+
+    rng = np.random.default_rng(4)
+    n = 60
+    coord = rng.uniform(0, 5.9, (n, 3)).astype(np.float32)
+    scene = tmp_path / "in" / "train" / "s"
+    scene.mkdir(parents=True)
+    np.save(scene / "coord.npy", coord)
+    np.save(scene / "pc_coord.npy", rng.uniform(0, 6, (70, 3)))
+    chunk_scene("s", str(tmp_path / "in"), str(tmp_path / "out"), "train",
+                grid_size=None, chunk_range=(6, 6), chunk_stride=(3, 3),
+                chunk_minimum_size=5)
+    d = next((tmp_path / "out").iterdir()) / "s_0"
+    assert (d / "coord.npy").exists()
+    assert not (d / "pc_coord.npy").exists()
+
+
+def _write_ascii_mesh_ply(path, verts, faces):
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        for nm in ("x", "y", "z", "red", "green", "blue"):
+            f.write(f"property float {nm}\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\n")
+        f.write("end_header\n")
+        for v in verts:
+            f.write(" ".join(f"{x:.6f}" for x in v) + "\n")
+        for fc in faces:
+            f.write("3 " + " ".join(str(i) for i in fc) + "\n")
+
+
+def test_arkitscenes_mesh_preprocess(tmp_path):
+    """Reference arkitscenes/preprocess_arkitscenes_mesh.py:28-60 parity:
+    area-weighted vertex normals (the in-test golden replicates the
+    reference's per-face loop literally) and the 3dod split/scene layout."""
+    from scripts.preprocess_arkitscenes_mesh import parse_scene
+
+    rng = np.random.default_rng(5)
+    verts = np.concatenate(
+        [rng.uniform(0, 2, (9, 3)), rng.uniform(0, 1, (9, 3))], 1
+    ).astype(np.float32)
+    faces = np.array([[0, 1, 2], [2, 1, 3], [4, 5, 6], [6, 7, 8], [0, 2, 4]])
+    scene = tmp_path / "3dod" / "Training" / "sc001"
+    scene.mkdir(parents=True)
+    _write_ascii_mesh_ply(scene / "sc001_3dod_mesh.ply", verts, faces)
+
+    parse_scene(str(scene / "sc001_3dod_mesh.ply"), str(tmp_path / "out"))
+
+    out = tmp_path / "out" / "Training" / "sc001"
+    coord = np.load(out / "coord.npy")
+    color = np.load(out / "color.npy")
+    normal = np.load(out / "normal.npy")
+    np.testing.assert_allclose(coord, verts[:, :3], atol=1e-5)
+    np.testing.assert_allclose(color, verts[:, 3:6], atol=1e-5)
+
+    # golden: the reference's own vertex_normal (loop form, l.38-48)
+    vertex = verts[:, :3].astype(np.float64)
+    v01 = vertex[faces[:, 1]] - vertex[faces[:, 0]]
+    v02 = vertex[faces[:, 2]] - vertex[faces[:, 0]]
+    vec = np.cross(v01, v02)
+    length = np.sqrt((vec ** 2).sum(1, keepdims=True)) + 1e-8
+    nf = vec / length * (length * 0.5)
+    nv = np.zeros_like(vertex)
+    for i in range(faces.shape[0]):
+        nv[faces[i]] += nf[i]
+    nv = nv / (np.sqrt((nv ** 2).sum(1, keepdims=True)) + 1e-8)
+    np.testing.assert_allclose(normal, nv, atol=1e-4)
+
+
+def test_arkitscenes_mesh_pth_format(tmp_path):
+    from scripts.preprocess_arkitscenes_mesh import parse_scene
+
+    rng = np.random.default_rng(6)
+    verts = np.concatenate(
+        [rng.uniform(0, 2, (5, 3)), rng.uniform(0, 1, (5, 3))], 1
+    ).astype(np.float32)
+    faces = np.array([[0, 1, 2], [2, 3, 4]])
+    scene = tmp_path / "3dod" / "Validation" / "sc9"
+    scene.mkdir(parents=True)
+    _write_ascii_mesh_ply(scene / "sc9_3dod_mesh.ply", verts, faces)
+    parse_scene(str(scene / "sc9_3dod_mesh.ply"), str(tmp_path / "out"),
+                fmt="pth")
+    import torch
+
+    d = torch.load(tmp_path / "out" / "Validation" / "sc9.pth",
+                   weights_only=False)
+    assert d["scene_id"] == "sc9"
+    assert set(d) == {"coord", "color", "scene_id", "normal"}
+    np.testing.assert_allclose(d["coord"], verts[:, :3], atol=1e-5)
