@@ -321,22 +321,26 @@ def _orchestrate(kind: str):
         return
     print(f"# canary ok at {time.monotonic() - t0:.0f}s", file=sys.stderr)
 
-    # Ladder: sizes with reliably-sane compile times on the tunneled
-    # toolchain (larger N hits pathological XLA-sort/Mosaic compile zones,
-    # see ops/pallas_sort.py); the no-Pallas rungs keep a Mosaic regression
-    # in the attention kernel from killing the bench outright.
+    # Ladder: the RELIABLE rung comes first — pure-XLA attention compiles in
+    # minutes, while a cold Pallas flagship compile alone ate a 900 s worker
+    # budget in r4 (the 814 s Mosaic compile, CLAUDE.md) and left the driver
+    # with value=0. Pallas variants are UPGRADE rungs attempted after a
+    # number is already banked (head-padded first: Cg=128, 2-way unroll,
+    # far cheaper Mosaic compile).
+    no_pallas = {"SCENESPLAT_NO_PALLAS_ATTN": "1"}
+    pad64 = {"SCENESPLAT_ATTN_PAD_HEAD": "1"}
     if kind == "train":
         ladder = [
-            (["--worker", "train", "32768"], None),
-            (["--worker", "train", "32768"], {"SCENESPLAT_NO_PALLAS_ATTN": "1"}),
-            (["--worker", "train", "16384"], {"SCENESPLAT_NO_PALLAS_ATTN": "1"}),
+            (["--worker", "train", "32768"], no_pallas),
+            (["--worker", "train", "16384"], no_pallas),
         ]
+        upgrades = [(["--worker", "train", "32768"], pad64)]
     else:
         ladder = [
-            (["--worker", "fwd", "32768"], None),
-            (["--worker", "fwd", "32768"], {"SCENESPLAT_NO_PALLAS_ATTN": "1"}),
-            (["--worker", "fwd", "16384"], {"SCENESPLAT_NO_PALLAS_ATTN": "1"}),
+            (["--worker", "fwd", "32768"], no_pallas),
+            (["--worker", "fwd", "16384"], no_pallas),
         ]
+        upgrades = [(["--worker", "fwd", "32768"], pad64)]
     last_err = "no attempt had enough budget"
     for args, extra_env in ladder:
         remaining = budget - (time.monotonic() - t0) - 15
@@ -345,6 +349,25 @@ def _orchestrate(kind: str):
         obj, err = _run_worker(args, timeout=min(900.0, remaining),
                                extra_env=extra_env)
         if obj is not None:
+            # Upgrade rungs: Pallas attention variants, attempted only after
+            # a number is banked; a faster result replaces the base value.
+            for uargs, uenv in upgrades:
+                remaining = budget - (time.monotonic() - t0) - 15
+                if remaining < 180:
+                    break
+                uobj, uerr = _run_worker(
+                    uargs, timeout=min(900.0, remaining), extra_env=uenv,
+                )
+                if uobj is None:
+                    print(f"# upgrade rung {uenv} failed: {uerr}",
+                          file=sys.stderr)
+                elif uobj["value"] > obj["value"]:
+                    print(f"# upgrade rung {uenv} wins: {uobj['value']} "
+                          f"vs {obj['value']}", file=sys.stderr)
+                    obj, args, extra_env = uobj, uargs, uenv
+                else:
+                    print(f"# upgrade rung {uenv} slower: {uobj['value']} "
+                          f"vs {obj['value']}", file=sys.stderr)
             # Bonus rungs at the reference's larger operating points
             # (<=192k train / ~698k inference, configs/...contrastive.py:
             # 201,383) — purely opportunistic: failures never degrade the

@@ -32,5 +32,13 @@ def setup_compilation_cache(path: str = "/tmp/scenesplat_jax_cache"):
     import jax
 
     apply_platform_env()
+    # XLA:CPU AOT cache entries are rejected at every load on this toolchain
+    # (cpu_aot_loader refuses the +prefer-no-scatter/+prefer-no-gather
+    # pseudo-features even same-host), so on CPU the cache never hits — skip
+    # it to avoid serialization cost + E-line spam. TPU entries load fine.
+    import os
+
+    if os.environ.get("SCENESPLAT_PLATFORM", "").lower() == "cpu":
+        return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -161,6 +161,26 @@ def window_attention_reference(
     return out[:, : n]
 
 
+def _head_pad_dim(c: int, num_heads: int) -> int | None:
+    """Padded per-head dim for the Pallas kernel, or None when no pad helps.
+
+    The kernel tiles channels in head-groups of Cg = lcm(d, 128) lanes and
+    UNROLLS the heads within a group (ops/pallas_attn.py). At the flagship
+    d = 48 that means Cg = 384 and an 8-way unroll whose Mosaic compile cost
+    is pathological (measured 814 s at K=1024, C=768). Padding each head to
+    the next power of two that divides 128 (48 -> 64) makes Cg = 128 and the
+    unroll 128/d' <= 2 — ~4x less unrolled code — at the price of one
+    elementwise pad/slice round trip (bandwidth, not MXU). Zero-padded q/k
+    lanes contribute nothing to scores and zero-padded v lanes produce
+    zeros that the output slice drops, so the math is exact.
+    """
+    d = c // num_heads
+    if d >= 128 or 128 % d == 0:
+        return None  # already lane-friendly (Cg = 128 tile, small unroll)
+    dp = 1 << (d - 1).bit_length()  # next power of two, divides 128
+    return dp
+
+
 def window_attention(
     qkv_sorted: jnp.ndarray,
     valid_sorted: jnp.ndarray,
@@ -170,6 +190,13 @@ def window_attention(
     use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """Dispatch to the Pallas flash-window kernel on TPU, else the jnp path."""
+    c = qkv_sorted.shape[-1]
+    pad_d = (
+        _head_pad_dim(c, num_heads)
+        if os.environ.get("SCENESPLAT_ATTN_PAD_HEAD") == "1"
+        else None
+    )
+    eff_c = num_heads * pad_d if pad_d else c
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
         if os.environ.get("SCENESPLAT_NO_PALLAS_ATTN") == "1":
@@ -178,12 +205,27 @@ def window_attention(
         if use_pallas:
             # auto-fallback: never hard-crash train/test on a Mosaic rejection
             use_pallas = _pallas_probe_ok(
-                patch_size, num_heads, qkv_sorted.shape[-1],
-                str(qkv_sorted.dtype),
+                patch_size, num_heads, eff_c, str(qkv_sorted.dtype),
             )
     if use_pallas:
         from .pallas_attn import flash_window_attention
 
+        if pad_d is not None:
+            b, n = qkv_sorted.shape[:2]
+            d = c // num_heads
+            if scale is None:
+                scale = d**-0.5  # scale follows the REAL head dim
+            qkv6 = qkv_sorted.reshape(b, n, 3, num_heads, d)
+            qkv6 = jnp.pad(
+                qkv6, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad_d - d))
+            )
+            out = flash_window_attention(
+                qkv6.reshape(b, n, 3, eff_c), valid_sorted, patch_size,
+                num_heads, scale,
+            )
+            return out.reshape(b, n, num_heads, pad_d)[..., :d].reshape(
+                b, n, c
+            )
         return flash_window_attention(
             qkv_sorted, valid_sorted, patch_size, num_heads, scale
         )

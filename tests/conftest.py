@@ -22,8 +22,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/scenesplat_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compile cache for the (always-CPU) test suite: XLA:CPU AOT
+# entries are rejected at every load on this toolchain — cpu_aot_loader
+# refuses the +prefer-no-scatter/+prefer-no-gather pseudo-features even for
+# entries compiled by THIS host — so the cache never produces a hit, only
+# serialization cost and E-line spam. (Verified by a two-run probe; the TPU
+# side still uses /tmp/scenesplat_jax_cache via setup_compilation_cache.)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

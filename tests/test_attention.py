@@ -212,3 +212,38 @@ def test_pallas_bf16_grad_error_within_noise_floor(rng):
         f"Pallas bf16 grads {err:.3e} exceed the jnp-bf16 noise floor "
         f"{floor:.3e} x2.5 - kernel bug, not rounding"
     )
+
+
+def test_pad_head_variant_matches(rng, monkeypatch):
+    """SCENESPLAT_ATTN_PAD_HEAD=1: padding d=48 heads to 64 lanes for the
+    Pallas kernel is numerically exact (zero q/k pad lanes add nothing to
+    scores; zero v pad lanes are sliced off) - values AND grads."""
+    monkeypatch.setenv("SCENESPLAT_ATTN_PAD_HEAD", "1")
+    heads, d, patch = 2, 48, 32
+    qkv, valid = make_inputs(rng, b=1, n=128, patch=patch, heads=heads, d=d)
+    assert wa._head_pad_dim(heads * d, heads) == 64
+    vj = jnp.asarray(valid)
+    mask_f = vj[..., None].astype(jnp.float32)
+
+    def loss(x, use_pallas):
+        o = wa.window_attention(x, vj, patch, heads, use_pallas=use_pallas)
+        return jnp.sum((o * mask_f) ** 2)
+
+    x = jnp.asarray(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(wa.window_attention(x, vj, patch, heads,
+                                             use_pallas=True))
+        g_pallas = np.asarray(jax.grad(lambda t: loss(t, True))(x))
+    expected = np.asarray(wa.window_attention_reference(x, vj, patch, heads))
+    np.testing.assert_allclose(got[valid], expected[valid],
+                               rtol=1e-4, atol=1e-5)
+    g_ref = np.asarray(jax.grad(lambda t: loss(t, False))(x))
+    np.testing.assert_allclose(g_pallas, g_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_head_pad_dim_policy():
+    assert wa._head_pad_dim(768, 16) == 64   # flagship d=48 -> 64
+    assert wa._head_pad_dim(32, 2) is None   # d=16 divides 128
+    assert wa._head_pad_dim(256, 2) is None  # d=128: full-lane tile already
+    assert wa._head_pad_dim(96, 2) == 64     # d=48 again via different c
+    assert wa._head_pad_dim(80, 2) == 64     # d=40 -> 64
