@@ -82,7 +82,10 @@ run_item probe_maskexp 1800 env SCENESPLAT_MASKED_EXP=1 SCENESPLAT_NO_PALLAS_ATT
     python probe_net.py attn
 # 9. Outdoor join-path flagship (TPU_TODO 11).
 run_item probe_outdoor 2400 python probe_outdoor.py 32768
-# 10. Pallas attention kernel (compile-heavy; LAST: can eat a whole window).
+# 10. AOT executable serialization (kills per-process Mosaic recompiles if
+#     it works; cheap: one small kernel compile).
+run_item probe_aot 1200 python probe_aot_tpu.py
+# 11. Pallas attention kernel (compile-heavy; LAST: can eat a whole window).
 run_item probe_attn 3000 python probe_attn_tpu.py
 
 note "ladder complete"
