@@ -163,6 +163,8 @@ _SLOW_MODULES = {
     "tests.test_stratified", "tests.test_spvcnn", "tests.test_oacnns",
     "tests.test_ptv1", "tests.test_ptv2", "tests.test_cac",
     "tests.test_ppt", "tests.test_point_group", "tests.test_ckpt_bridge",
+    # 189 s: an 8-device (4,2)-mesh train-step grad comparison
+    "tests.test_tensor_parallel",
 }
 
 
