@@ -330,11 +330,16 @@ def _orchestrate(kind: str):
     no_pallas = {"SCENESPLAT_NO_PALLAS_ATTN": "1"}
     pad64 = {"SCENESPLAT_ATTN_PAD_HEAD": "1"}
     if kind == "train":
+        # Train CANNOT run no-Pallas at 32k: the jnp attention backward
+        # materializes probability tensors and the step needs 18.97G of the
+        # v5e's 15.75G HBM (measured 2026-08-20). The head-padded Pallas
+        # kernel is both the memory fix and a sane compile (36.7 s bwd vs
+        # 814 s unpadded).
         ladder = [
-            (["--worker", "train", "32768"], no_pallas),
+            (["--worker", "train", "32768"], pad64),
             (["--worker", "train", "16384"], no_pallas),
         ]
-        upgrades = [(["--worker", "train", "32768"], pad64)]
+        upgrades = []
     else:
         ladder = [
             (["--worker", "fwd", "32768"], no_pallas),

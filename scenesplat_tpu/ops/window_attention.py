@@ -191,9 +191,13 @@ def window_attention(
 ) -> jnp.ndarray:
     """Dispatch to the Pallas flash-window kernel on TPU, else the jnp path."""
     c = qkv_sorted.shape[-1]
+    # Head padding defaults ON: measured on v5e (WINDOW_LOG 2026-08-20) the
+    # padded flagship kernel compiles in 12.3 s fwd / 36.7 s bwd vs 814 s
+    # unpadded, at parity runtime (7.4 ms fwd @32k/C=768). Opt out with
+    # SCENESPLAT_ATTN_PAD_HEAD=0.
     pad_d = (
         _head_pad_dim(c, num_heads)
-        if os.environ.get("SCENESPLAT_ATTN_PAD_HEAD") == "1"
+        if os.environ.get("SCENESPLAT_ATTN_PAD_HEAD", "1") != "0"
         else None
     )
     eff_c = num_heads * pad_d if pad_d else c
