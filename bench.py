@@ -335,33 +335,38 @@ def _orchestrate(kind: str):
         # v5e's 15.75G HBM (measured 2026-08-20). The head-padded Pallas
         # kernel is both the memory fix and a sane compile (36.7 s bwd vs
         # 814 s unpadded).
+        # per-rung timeout: programs containing Pallas custom calls are
+        # never persist-cached by the tunnel, so the first train rung pays
+        # the FULL compile every cold run (~20 min measured) — and killing
+        # the client mid-compile leaves an orphan serializing the helper
+        # (CLAUDE.md). Size the cap to completion.
         ladder = [
-            (["--worker", "train", "32768"], pad64),
-            (["--worker", "train", "16384"], no_pallas),
+            (["--worker", "train", "32768"], pad64, 1800.0),
+            (["--worker", "train", "16384"], no_pallas, 900.0),
         ]
         upgrades = []
     else:
         ladder = [
-            (["--worker", "fwd", "32768"], no_pallas),
-            (["--worker", "fwd", "16384"], no_pallas),
+            (["--worker", "fwd", "32768"], no_pallas, 900.0),
+            (["--worker", "fwd", "16384"], no_pallas, 900.0),
         ]
-        upgrades = [(["--worker", "fwd", "32768"], pad64)]
+        upgrades = [(["--worker", "fwd", "32768"], pad64, 1200.0)]
     last_err = "no attempt had enough budget"
-    for args, extra_env in ladder:
+    for args, extra_env, cap in ladder:
         remaining = budget - (time.monotonic() - t0) - 15
         if remaining < 120:
             break
-        obj, err = _run_worker(args, timeout=min(900.0, remaining),
+        obj, err = _run_worker(args, timeout=min(cap, remaining),
                                extra_env=extra_env)
         if obj is not None:
             # Upgrade rungs: Pallas attention variants, attempted only after
             # a number is banked; a faster result replaces the base value.
-            for uargs, uenv in upgrades:
+            for uargs, uenv, ucap in upgrades:
                 remaining = budget - (time.monotonic() - t0) - 15
                 if remaining < 180:
                     break
                 uobj, uerr = _run_worker(
-                    uargs, timeout=min(900.0, remaining), extra_env=uenv,
+                    uargs, timeout=min(ucap, remaining), extra_env=uenv,
                 )
                 if uobj is None:
                     print(f"# upgrade rung {uenv} failed: {uerr}",
