@@ -206,6 +206,13 @@ def window_attention(
         if os.environ.get("SCENESPLAT_NO_PALLAS_ATTN") == "1":
             use_pallas = False  # manual override for Mosaic regressions
             # (only overrides the default — an explicit use_pallas=True wins)
+        # Hybrid dispatch: Pallas only pays off at wide heads (small-d
+        # stages are cheap in jnp and their Mosaic compiles — 8-way head
+        # unrolls at Cg=128 — are the expensive part of a full-model
+        # compile). SCENESPLAT_PALLAS_MIN_D=32 keeps Pallas for d >= 32.
+        min_d = int(os.environ.get("SCENESPLAT_PALLAS_MIN_D", "0"))
+        if use_pallas and c // num_heads < min_d:
+            use_pallas = False
         if use_pallas:
             # auto-fallback: never hard-crash train/test on a Mosaic rejection
             use_pallas = _pallas_probe_ok(
