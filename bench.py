@@ -307,7 +307,11 @@ def _orchestrate(kind: str):
     import sys
 
     t0 = time.monotonic()
-    budget = float(os.environ.get("SCENESPLAT_BENCH_BUDGET", "1200"))
+    # train default is larger: the train-step program embeds Pallas custom
+    # calls, which the tunnel never persist-caches — a cold run pays the
+    # full ~25 min compile every time (measured 2026-08-20)
+    budget = float(os.environ.get(
+        "SCENESPLAT_BENCH_BUDGET", "3600" if kind == "train" else "1200"))
     metric = ("train_step_gaussians_per_sec" if kind == "train"
               else "encoder_fwd_gaussians_per_sec")
 
@@ -341,7 +345,7 @@ def _orchestrate(kind: str):
         # the client mid-compile leaves an orphan serializing the helper
         # (CLAUDE.md). Size the cap to completion.
         ladder = [
-            (["--worker", "train", "32768"], pad64, 1800.0),
+            (["--worker", "train", "32768"], None, 2400.0),
             (["--worker", "train", "16384"], no_pallas, 900.0),
         ]
         upgrades = []

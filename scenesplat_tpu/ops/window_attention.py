@@ -206,11 +206,14 @@ def window_attention(
         if os.environ.get("SCENESPLAT_NO_PALLAS_ATTN") == "1":
             use_pallas = False  # manual override for Mosaic regressions
             # (only overrides the default — an explicit use_pallas=True wins)
-        # Hybrid dispatch: Pallas only pays off at wide heads (small-d
-        # stages are cheap in jnp and their Mosaic compiles — 8-way head
-        # unrolls at Cg=128 — are the expensive part of a full-model
-        # compile). SCENESPLAT_PALLAS_MIN_D=32 keeps Pallas for d >= 32.
-        min_d = int(os.environ.get("SCENESPLAT_PALLAS_MIN_D", "0"))
+        # Hybrid dispatch (DEFAULT min_d=32): Pallas only pays off at wide
+        # heads — small-d stages are cheap in jnp, and their Mosaic bwd
+        # compiles (8-way head unrolls at Cg=128) are what pushed the
+        # flagship train-step compile over the tunnel helper's memory cap
+        # (SIGKILL after ~54 min, 2026-08-20). With d >= 32 only (dec0/
+        # dec1), the same program compiles in ~25 min and runs 56.6k g/s.
+        # Set SCENESPLAT_PALLAS_MIN_D=0 to force Pallas everywhere.
+        min_d = int(os.environ.get("SCENESPLAT_PALLAS_MIN_D", "32"))
         if use_pallas and c // num_heads < min_d:
             use_pallas = False
         if use_pallas:
