@@ -99,11 +99,14 @@ for iters in (10,):
     print(f"bench-style loop:  {dt*1e3:8.2f} ms/iter "
           f"({N/dt:,.0f} gaussians/s) [{iters} iters]", flush=True)
 
-# (d) geometry fused, chained
+# (d) geometry fused, chained. Geometry consumes only grid_coord/mask, so
+# the perturbation must hit grid_coord with a data-dependent (unfoldable)
+# zero or while-LICM hoists the whole geometry subgraph out of the loop.
 @jax.jit
 def geom_chain(p):
     def body(i, c):
-        gg = bb.build_geometry(p.replace(coord=p.coord + c * 0.0))
+        z = (c * 1e-30).astype(p.grid_coord.dtype)
+        gg = bb.build_geometry(p.replace(grid_coord=p.grid_coord + z))
         leaves = [x for x in jax.tree_util.tree_leaves(gg)
                   if hasattr(x, "astype")]
         s = sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)

@@ -69,24 +69,44 @@ def make_scene(extent):
     return jnp.asarray(gc[None]), jnp.ones((1, N), bool)
 
 
-def bench(name, build_fn, gc, mask, k):
-    @jax.jit
-    def run(gc, mask):
-        def body(i, carry):
-            drop, acc = carry
-            iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
-            m = mask & (iota != drop)
-            plan = build_fn(gc, m)
-            s = jnp.sum(
+def bench(name, build_fn, gc, mask, k, chain=True):
+    # chain=True: R builds in one fori program (flat-compile builders only:
+    # hash/dense). chain=False: ONE build per program, R burst dispatches,
+    # sync once — used for the join builder, whose R-chained fori compile
+    # is pathological (the 2026-08-20 run burned a 45-min compile and
+    # rc=124'd before its first number; CLAUDE.md's 125-offset-fusion
+    # warning applies to the chained form). Burst numbers are upper bounds
+    # (residual per-dispatch tunnel overhead that chaining would amortize).
+    if chain:
+        @jax.jit
+        def run(gc, mask):
+            def body(i, carry):
+                drop, acc = carry
+                iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+                m = mask & (iota != drop)
+                plan = build_fn(gc, m)
+                s = jnp.sum(
+                    jnp.where(plan.neighbor_valid, plan.neighbor_index, 0)
+                    .astype(jnp.float32)
+                )
+                return (jnp.mod(s, np.float32(N)).astype(jnp.int32), acc + s)
+
+            _, acc = jax.lax.fori_loop(
+                0, R, body, (jnp.int32(0), jnp.float32(0.0))
+            )
+            return acc
+    else:
+        @jax.jit
+        def one(gc, mask):
+            plan = build_fn(gc, mask)
+            return jnp.sum(
                 jnp.where(plan.neighbor_valid, plan.neighbor_index, 0)
                 .astype(jnp.float32)
             )
-            return (jnp.mod(s, np.float32(N)).astype(jnp.int32), acc + s)
 
-        _, acc = jax.lax.fori_loop(
-            0, R, body, (jnp.int32(0), jnp.float32(0.0))
-        )
-        return acc
+        def run(gc, mask):
+            accs = [one(gc, mask) for _ in range(R)]
+            return jnp.sum(jnp.stack(accs))
 
     try:
         t, t_compile = timed(run, gc, mask)
@@ -94,7 +114,9 @@ def bench(name, build_fn, gc, mask, k):
         print(f"{name:24s} k={k}: FAILED {type(e).__name__}: {e}"[:200])
         return
     t = (t - t_floor) / R
-    print(f"{name:24s} k={k}: {t*1e3:8.2f} ms/build   (compile {t_compile:6.1f} s)")
+    tag = "" if chain else " [burst: upper bound]"
+    print(f"{name:24s} k={k}: {t*1e3:8.2f} ms/build   "
+          f"(compile {t_compile:6.1f} s){tag}")
 
 
 for label, extent, depth, dense_ok in (
@@ -103,10 +125,13 @@ for label, extent, depth, dense_ok in (
 ):
     print(f"\n== {label}, N={N} ==")
     gc, mask = make_scene(extent)
+    # flat-compile builders first (chained); the join builder LAST and
+    # un-chained so its compile cannot eat the window before the new
+    # builders report
     for k in (5, 3):
         bench(
-            f"join ({label})",
-            lambda g, m, k=k, d=depth: build_subm_conv_plan(
+            f"hash ({label})",
+            lambda g, m, k=k, d=depth: build_subm_conv_plan_hash(
                 g, m, kernel_size=k, depth=d
             ),
             gc, mask, k,
@@ -119,10 +144,11 @@ for label, extent, depth, dense_ok in (
                 ),
                 gc, mask, k,
             )
+    for k in (5, 3):
         bench(
-            f"hash ({label})",
-            lambda g, m, k=k, d=depth: build_subm_conv_plan_hash(
+            f"join ({label})",
+            lambda g, m, k=k, d=depth: build_subm_conv_plan(
                 g, m, kernel_size=k, depth=d
             ),
-            gc, mask, k,
+            gc, mask, k, chain=False,
         )
