@@ -218,18 +218,20 @@ def build_subm_conv_plan_dense(
     cz = jnp.clip(z, 0, ez - 1)  # keep gather rows in bounds for OOB points
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kernel_size), 2)
 
-    # One CONTIGUOUS k-slice per (point, dx, dy): vmap(dynamic_slice) lowers
-    # to a single gather with slice_sizes=(k,) — k^2 row reads per point.
-    # The earlier form built the [B, N, k] index tensor explicitly and
-    # grid.at[idx].get() lowered to k^3 SCALAR gathers per point, which at
-    # the ~50M scalar-gathers/s TPU rate was the entire cost of the build
-    # (measured 70.9 ms for the k=5 stem at N=32k, 2026-08-20 — the whole
-    # plan should be ~5x cheaper as rows).
+    # Per-k gather form, adjudicated on v5e (2026-08-20, chained builds at
+    # N=32k): k=3 via vmap(dynamic_slice) (one gather, slice_sizes=(3,)) is
+    # 11.8 ms vs 15.1 ms for the explicit-index scalar form; k=5 slices are
+    # PATHOLOGICAL (953 ms vs 70.9 ms — XLA lowers the 5-wide slice gather
+    # into something serial), so k=5 keeps the scalar-index form. Scalar
+    # gathers run at ~58M/s on this chip and bound the k=5 build.
     def slice_rows(starts):  # [B, N] int32 -> [B, N, k]
-        flat = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(grid, (s,), (kernel_size,))
-        )(starts.reshape(-1))
-        return flat.reshape(b, n, kernel_size)
+        if kernel_size == 3:
+            flat = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(grid, (s,), (kernel_size,))
+            )(starts.reshape(-1))
+            return flat.reshape(b, n, kernel_size)
+        idx = starts[..., None] + col_iota  # [B, N, k]
+        return grid.at[idx].get(mode="promise_in_bounds")
 
     rows = []
     valids = []
