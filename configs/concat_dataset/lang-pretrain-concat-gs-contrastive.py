@@ -108,6 +108,11 @@ _train_transform = [
         keys=("coord", "grid_coord", "segment", "lang_feat", "valid_feat_mask"),
         feat_keys=feat_keys,
     ),
+    # stem k=5 conv plan built by the loader workers (overlaps the device;
+    # ~71 ms/fwd of device plan-gather time at 32k, and the only viable k=5
+    # path at scene extents where the on-device join no longer compiles).
+    # extent = the serialization_depth=10 coordinate bound.
+    dict(type="HostConvPlan", kernel_size=5, extent=(1024, 1024, 1024)),
 ]
 
 _val_transform = [

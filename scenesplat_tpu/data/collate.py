@@ -26,8 +26,15 @@ PAD_VALUES = {
     "pc_segment": -1,
 }
 
-INT_KEYS = ("segment", "instance", "grid_coord", "index", "pc_segment")
-BOOL_KEYS = ("valid_feat_mask",)
+INT_KEYS = ("segment", "instance", "grid_coord", "index", "pc_segment",
+            "stem_nbr")
+BOOL_KEYS = ("valid_feat_mask", "stem_valid")
+
+# Host-built conv-plan keys (transforms.HostConvPlan) hold WITHIN-SAMPLE
+# point indices: padding appends (indices stay valid), but Mix3D merges and
+# over-budget downsampling reindex points, so those paths drop the keys and
+# the trainer rebuilds the plan on device for the batch.
+PLAN_KEYS = ("stem_nbr", "stem_valid")
 
 
 def _round_up(n: int, multiple: int) -> int:
@@ -91,6 +98,8 @@ def _merge_two(a: Dict[str, np.ndarray], b: Dict[str, np.ndarray]) -> Dict[str, 
             merged[key] = np.concatenate([va, b[key]], axis=0)
         else:
             merged[key] = va
+    for key in PLAN_KEYS:  # merged scenes need a fresh plan (cross-scene
+        merged.pop(key, None)  # neighbors appear in the shared space)
     return merged
 
 
@@ -130,6 +139,7 @@ def collate_padded(
                     and not k.startswith(("pc_", "origin_"))
                     else v)
                 for k, v in s.items()
+                if k not in PLAN_KEYS  # indices go stale under reindexing
             }
         shrunk.append(s)
     samples = shrunk

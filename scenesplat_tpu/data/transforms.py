@@ -206,6 +206,43 @@ class Collect:
 
 
 @TRANSFORMS.register_module()
+class HostConvPlan:
+    """Build the PTv3 stem's dense-grid submanifold conv plan on the HOST
+    (data-loader workers) and ship it as per-point batch keys.
+
+    The plan is a pure function of grid_coord (native/host_ops.cpp:
+    subm_dense_plan == the device builder ops/subm_conv.py:
+    build_subm_conv_plan_dense), and the k=5 stem build is ~90% of the
+    device's geometry cost (71 of 77 ms/fwd at 32k on v5e — ~4.1M scalar
+    gathers). Running it here overlaps plan construction with device
+    compute entirely; the reference pays the analogous spconv hash build
+    on-GPU inside every forward (models/utils/structure.py:104-140).
+
+    Emits ``stem_nbr`` [n, k^3] int32 and ``stem_valid`` [n, k^3] bool
+    (point-major; models/ptv3.py:stem_plan_from_batch transposes to the
+    device layout). Place AFTER Collect (indices must match the final
+    point order). Collate drops the keys on Mix3D merges and over-budget
+    downsampling — both reindex points — and the trainer falls back to the
+    device build for those batches."""
+
+    def __init__(self, kernel_size=5, extent=(320, 320, 320)):
+        self.kernel_size = int(kernel_size)
+        self.extent = tuple(int(e) for e in extent)
+
+    def __call__(self, data_dict):
+        from scenesplat_tpu import native
+
+        gc = np.asarray(data_dict["grid_coord"], np.int32)
+        mask = np.ones(gc.shape[0], bool)
+        nbr, valid = native.subm_dense_plan(
+            gc, mask, self.kernel_size, self.extent
+        )
+        data_dict["stem_nbr"] = nbr
+        data_dict["stem_valid"] = valid
+        return data_dict
+
+
+@TRANSFORMS.register_module()
 class Copy:
     def __init__(self, keys_dict=None):
         self.keys_dict = keys_dict or dict(

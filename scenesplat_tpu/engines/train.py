@@ -242,9 +242,11 @@ class Trainer(TrainerBase):
         shuffle = bool(backbone_cfg.get("shuffle_orders", True))
         base_rng = jax.random.PRNGKey(self.cfg.get("seed", 0) + 7)
 
-        def build(point, step: int):
+        def build(point, step: int, stem_plan=None):
             key = jax.random.fold_in(base_rng, step) if shuffle else None
-            return backbone.build_geometry_staged(point, shuffle_rng=key)
+            return backbone.build_geometry_staged(
+                point, shuffle_rng=key, stem_plan=stem_plan
+            )
 
         return build
 
@@ -312,8 +314,11 @@ class Trainer(TrainerBase):
             replicated(self.mesh),
         )
         if self._geom_builder is not None:
+            from scenesplat_tpu.models.ptv3 import stem_plan_from_batch
+
             geometry = self._geom_builder(
-                point_from_batch(device_batch), self._host_step
+                point_from_batch(device_batch), self._host_step,
+                stem_plan=stem_plan_from_batch(device_batch),
             )
             self.state, metrics = self._jit_step(
                 self.state, device_batch, geometry

@@ -433,6 +433,19 @@ def _shrunk_extent(extent, total_depth):
     return tuple((e + (1 << total_depth) - 1) >> total_depth for e in extent)
 
 
+def stem_plan_from_batch(batch, kernel_size: int = 5):
+    """SubMConvPlan from host-built batch keys (transforms.HostConvPlan):
+    ``stem_nbr``/``stem_valid`` arrive point-major [B, N, K3] (contiguous
+    host writes); the device layout is [B, K3, N] — one cheap transpose."""
+    if "stem_nbr" not in batch:
+        return None
+    return SubMConvPlan(
+        neighbor_index=jnp.swapaxes(jnp.asarray(batch["stem_nbr"]), 1, 2),
+        neighbor_valid=jnp.swapaxes(jnp.asarray(batch["stem_valid"]), 1, 2),
+        kernel_size=kernel_size,
+    )
+
+
 def build_ptv3_geometry(
     point: PointBatch,
     *,
@@ -445,9 +458,18 @@ def build_ptv3_geometry(
     dense_extent: Optional[Tuple[int, int, int]] = None,
     hash_grid: bool = False,
     pool_reduce_needs_coord: bool = True,
+    stem_plan: Optional[SubMConvPlan] = None,
 ) -> PTv3Geometry:
     """Mirror of PTv3's in-forward geometry construction (serialization,
     stem k=5 plan + per-stage k=3 plans, pooling cluster plans).
+
+    ``stem_plan``: a precomputed full-resolution stem conv plan (e.g. built
+    on the HOST by the data-loader workers, native/host_ops.cpp:
+    subm_dense_plan, and shipped as batch inputs). The stem plan is ~90% of
+    the device geometry cost (the k=5 ~4.1M-scalar-gather build, measured
+    71 of 77 ms at 32k on v5e) and is a pure function of grid_coord — with
+    it supplied, the device only serializes + pools + builds the small
+    pooled-stage k=3 plans.
 
     ``dense_extent``: when the scene's grid coords are bounded by a static
     (ex, ey, ez), conv plans build via the dense-voxel-grid path
@@ -482,7 +504,8 @@ def build_ptv3_geometry(
             z_sorted=_z_sorted(ser),
         )
 
-    stem_plan = conv_plan(point.grid_coord, point.mask, 5, point.ser, 0)
+    if stem_plan is None:
+        stem_plan = conv_plan(point.grid_coord, point.mask, 5, point.ser, 0)
     state = StageState(
         coord=point.coord, grid_coord=point.grid_coord, mask=point.mask,
         ser=point.ser, conv_plan=subplan(stem_plan, 3),
@@ -653,6 +676,7 @@ def build_ptv3_geometry_staged(
     shuffle_rng: Optional[jax.Array] = None,
     dense_extent: Optional[Tuple[int, int, int]] = None,
     hash_grid: bool = False,
+    stem_plan: Optional[SubMConvPlan] = None,
 ) -> PTv3Geometry:
     """build_ptv3_geometry semantics through per-step jitted programs."""
     orders = tuple(orders)
@@ -664,7 +688,9 @@ def build_ptv3_geometry_staged(
         )
     has_z = "z" in orders
     z_idx = orders.index("z") if has_z else None
-    if dense_extent is not None:
+    if stem_plan is not None:
+        pass  # host-built (see build_ptv3_geometry)
+    elif dense_extent is not None:
         stem_plan = _geom_conv_dense(
             point.grid_coord, point.mask, k=5, extent=tuple(dense_extent)
         )
@@ -799,9 +825,13 @@ class PointTransformerV3(nn.Module):
         )
 
     def build_geometry(
-        self, point: PointBatch, shuffle_rng: Optional[jax.Array] = None
+        self, point: PointBatch, shuffle_rng: Optional[jax.Array] = None,
+        stem_plan: Optional[SubMConvPlan] = None,
     ) -> "PTv3Geometry":
-        """Precompute the int-only geometry program for this config."""
+        """Precompute the int-only geometry program for this config.
+
+        ``stem_plan``: optional host-built stem conv plan (see
+        build_ptv3_geometry)."""
         orders = self.order if not isinstance(self.order, str) else (self.order,)
         return build_ptv3_geometry(
             point,
@@ -813,10 +843,12 @@ class PointTransformerV3(nn.Module):
             shuffle_rng=shuffle_rng,
             dense_extent=self.dense_extent,
             hash_grid=self.hash_grid,
+            stem_plan=stem_plan,
         )
 
     def build_geometry_staged(
-        self, point: PointBatch, shuffle_rng: Optional[jax.Array] = None
+        self, point: PointBatch, shuffle_rng: Optional[jax.Array] = None,
+        stem_plan: Optional[SubMConvPlan] = None,
     ) -> "PTv3Geometry":
         """build_geometry through per-step jitted programs (large-N path).
 
@@ -834,6 +866,7 @@ class PointTransformerV3(nn.Module):
             shuffle_rng=shuffle_rng,
             dense_extent=self.dense_extent,
             hash_grid=self.hash_grid,
+            stem_plan=stem_plan,
         )
 
     @nn.compact
@@ -871,7 +904,12 @@ class PointTransformerV3(nn.Module):
         assert len(caps) == num_stages - 1
 
         if geometry is not None:
-            point = geometry.point
+            # geometry supplies serialization + plans; features always come
+            # from the PASSED point (taking geometry.point.feat here once
+            # silently discarded the caller's features, making chained
+            # benchmarks loop-invariant — XLA hoisted the whole network out
+            # of the rep loop and reported 5x-too-fast numbers, r5 bisect)
+            point = geometry.point.replace(feat=point.feat)
         elif point.ser is None:
             shuffle_rng = (
                 self.make_rng("shuffle")

@@ -52,6 +52,7 @@ def _load():
         lib.knn_grid.restype = None
         lib.majority_vote.restype = None
         lib.pointgroup_cluster.restype = ctypes.c_int64
+        lib.subm_dense_plan.restype = None
         _LIB = lib
     except Exception:
         _LIB = False
@@ -201,3 +202,74 @@ def majority_vote(labels: np.ndarray, num_classes: int, ignore_index: int = -1):
         _ptr(out, ctypes.c_int32),
     )
     return out
+
+
+def subm_dense_plan(
+    grid_coord: np.ndarray, mask: np.ndarray, kernel_size: int,
+    extent,
+):
+    """Host-built dense-grid submanifold conv plan.
+
+    Returns (neighbor_index [n, k^3] int32, neighbor_valid [n, k^3] bool) —
+    the exact output of the device builder
+    (ops/subm_conv.py:build_subm_conv_plan_dense) in point-major layout.
+    The plan is a pure function of grid_coord, so the data-loader workers
+    build it here and ship it as a batch input, taking conv-plan
+    construction off the device's critical path entirely (the reference
+    pays the analogous spconv hash build on-GPU per forward,
+    pointcept/models/utils/structure.py:104-140)."""
+    lib = _load()
+    gc = np.ascontiguousarray(grid_coord, np.int32)
+    mk = np.ascontiguousarray(mask, bool)
+    n = gc.shape[0]
+    k = int(kernel_size)
+    k3 = k ** 3
+    ex, ey, ez = (int(e) for e in extent)
+    if lib:
+        out_nbr = np.empty((n, k3), np.int32)
+        out_valid = np.empty((n, k3), np.uint8)
+        lib.subm_dense_plan(
+            _ptr(gc, ctypes.c_int32),
+            _ptr(mk.view(np.uint8), ctypes.c_uint8),
+            ctypes.c_int64(n),
+            ctypes.c_int32(k), ctypes.c_int32(ex), ctypes.c_int32(ey),
+            ctypes.c_int32(ez),
+            _ptr(out_nbr, ctypes.c_int32),
+            _ptr(out_valid, ctypes.c_uint8),
+        )
+        return out_nbr, out_valid.view(bool)
+    # numpy fallback: same dense-grid structure, vectorized
+    r = k // 2
+    ezp = ez + 2 * r
+    m = ex * ey * ezp
+    x, y, z = gc[:, 0], gc[:, 1], gc[:, 2]
+    in_extent = (
+        (x >= 0) & (x < ex) & (y >= 0) & (y < ey) & (z >= 0) & (z < ez)
+    )
+    live = mk & in_extent
+    grid = np.zeros(m, np.int32)
+    flat = (x[live].astype(np.int64) * ey + y[live]) * ezp + z[live] + r
+    grid[flat] = np.nonzero(live)[0].astype(np.int32) + 1
+    zok = (z >= 0) & (z < ez)
+    nbr = np.zeros((n, k3), np.int32)
+    valid = np.zeros((n, k3), bool)
+    dz = np.arange(k) - r
+    for dxi, dx in enumerate(range(-r, r + 1)):
+        qx = x + dx
+        vx = (qx >= 0) & (qx < ex)
+        cx = np.clip(qx, 0, ex - 1)
+        for dyi, dy in enumerate(range(-r, r + 1)):
+            qy = y + dy
+            vy = vx & (qy >= 0) & (qy < ey)
+            cy = np.clip(qy, 0, ey - 1)
+            base = (cx.astype(np.int64) * ey + cy) * ezp + np.clip(z, 0, ez - 1)
+            ids = grid[base[:, None] + np.arange(k)[None, :]]  # [n, k]
+            qz = z[:, None] + dz[None, :]
+            v = (
+                (vy & zok & mk)[:, None]
+                & (qz >= 0) & (qz < ez) & (ids > 0)
+            )
+            lo = (dxi * k + dyi) * k
+            nbr[:, lo : lo + k] = np.where(v, np.maximum(ids - 1, 0), 0)
+            valid[:, lo : lo + k] = v
+    return nbr, valid

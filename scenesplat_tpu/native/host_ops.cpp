@@ -244,4 +244,114 @@ void majority_vote(
     }
 }
 
+// Dense-voxel-grid submanifold conv plan, host side. Exact semantics of the
+// device builder (ops/subm_conv.py:build_subm_conv_plan_dense, itself the
+// TPU rebuild of spconv SubMConv3d's GPU hash table,
+// point_transformer_v3m1_base.py:277-287): scatter point ids into a
+// [ex, ey, ez + 2r] grid, then read every point's k^3 neighborhood. The plan
+// is a pure function of grid_coord, so the data-loader workers build it here
+// and ship it as a batch input — plan construction overlaps device compute
+// entirely instead of eating ~70 ms/fwd of device scalar-gather time.
+//
+// out_nbr is [n, k^3] point-major (contiguous per-point writes; the device
+// transposes to its [K3, N] layout in one cheap pass). Invalid slots are 0.
+void subm_dense_plan(
+    const int32_t* grid_coord,  // [n, 3]
+    const uint8_t* mask,        // [n]
+    int64_t n,
+    int32_t k, int32_t ex, int32_t ey, int32_t ez,
+    int32_t* out_nbr,           // [n, k^3] neighbor index (0 where invalid)
+    uint8_t* out_valid          // [n, k^3]
+) {
+    // Sorted two-pointer merge instead of a dense grid: at flagship extents
+    // the scene is ~0.1% occupied, so grid probes are all cache misses into
+    // a 133 MB buffer (measured 189 ms at 32k); sorting once and scanning a
+    // z-window per (dx, dy) column offset is O(k^2 * n) sequential work.
+    const int32_t r = k / 2;
+    const int64_t k3 = (int64_t)k * k * k;
+
+    auto key_of = [&](int64_t x, int64_t y, int64_t z) {
+        return (x * ey + y) * ez + z;
+    };
+    // queries: every masked point, sorted by (x, y, z); OOB centers still
+    // query (their in-extent column offsets can match), matching the device
+    // builder's clip-and-mask semantics
+    static thread_local std::vector<std::pair<int64_t, int32_t>> qry;
+    qry.clear();
+    qry.reserve((size_t)n);
+    for (int64_t i = 0; i < n; ++i) {
+        if (!mask[i]) {
+            std::memset(out_nbr + i * k3, 0, (size_t)k3 * sizeof(int32_t));
+            std::memset(out_valid + i * k3, 0, (size_t)k3);
+            continue;
+        }
+        const int32_t* g = grid_coord + i * 3;
+        // lexicographic sort key over possibly-negative coords: offset by k
+        // (any offset preserving order works; keys are only for ordering)
+        qry.emplace_back(
+            key_of((int64_t)g[0] + k, (int64_t)g[1] + k, (int64_t)g[2] + k),
+            (int32_t)i);
+    }
+    std::sort(qry.begin(), qry.end());
+    const int64_t nq = (int64_t)qry.size();
+
+    // (key, id) of in-extent masked points, sorted by key: the shifted sort
+    // key above is strictly monotone in (x, y, z), so the in-extent subset
+    // of the sorted queries is already key-ordered — one sort, not two
+    static thread_local std::vector<std::pair<int64_t, int32_t>> data;
+    data.clear();
+    data.reserve((size_t)nq);
+    for (int64_t qi = 0; qi < nq; ++qi) {
+        const int32_t i = qry[(size_t)qi].second;
+        const int32_t* g = grid_coord + (int64_t)i * 3;
+        if (g[0] < 0 || g[0] >= ex || g[1] < 0 || g[1] >= ey || g[2] < 0 ||
+            g[2] >= ez)
+            continue;
+        data.emplace_back(key_of(g[0], g[1], g[2]), i);
+    }
+    const int64_t nd = (int64_t)data.size();
+
+    // tmp rows in sorted-query order (contiguous writes), permuted to
+    // original order at the end
+    static thread_local std::vector<int32_t> tmp_nbr;
+    static thread_local std::vector<uint8_t> tmp_val;
+    tmp_nbr.assign((size_t)(nq * k3), 0);
+    tmp_val.assign((size_t)(nq * k3), 0);
+
+    for (int32_t dx = -r; dx <= r; ++dx) {
+        for (int32_t dy = -r; dy <= r; ++dy) {
+            const int64_t kbase = ((int64_t)(dx + r) * k + (dy + r)) * k;
+            int64_t p = 0;  // advances monotonically over data
+            for (int64_t qi = 0; qi < nq; ++qi) {
+                const int32_t i = qry[(size_t)qi].second;
+                const int32_t* g = grid_coord + (int64_t)i * 3;
+                const int32_t qx = g[0] + dx, qy = g[1] + dy, z = g[2];
+                if (qx < 0 || qx >= ex || qy < 0 || qy >= ey || z < 0 ||
+                    z >= ez)
+                    continue;
+                const int64_t base = key_of(qx, qy, z);
+                const int32_t dz_lo = z - r < 0 ? -z : -r;
+                const int32_t dz_hi = z + r >= ez ? ez - 1 - z : r;
+                const int64_t lo = base + dz_lo;
+                while (p < nd && data[(size_t)p].first < lo) ++p;
+                int32_t* nbr_row = tmp_nbr.data() + qi * k3 + kbase;
+                uint8_t* val_row = tmp_val.data() + qi * k3 + kbase;
+                for (int64_t j = p;
+                     j < nd && data[(size_t)j].first <= base + dz_hi; ++j) {
+                    const int32_t dz = (int32_t)(data[(size_t)j].first - base);
+                    nbr_row[dz + r] = data[(size_t)j].second;
+                    val_row[dz + r] = 1;
+                }
+            }
+        }
+    }
+
+    for (int64_t qi = 0; qi < nq; ++qi) {
+        const int64_t i = qry[(size_t)qi].second;
+        std::memcpy(out_nbr + i * k3, tmp_nbr.data() + qi * k3,
+                    (size_t)k3 * sizeof(int32_t));
+        std::memcpy(out_valid + i * k3, tmp_val.data() + qi * k3, (size_t)k3);
+    }
+}
+
 }  // extern "C"

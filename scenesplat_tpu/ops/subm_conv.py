@@ -53,8 +53,12 @@ def subplan(plan: SubMConvPlan, kernel_size: int) -> SubMConvPlan:
     """Extract a smaller-kernel plan from a larger one (e.g. k=3 from the
     k=5 stem plan): the 27 offsets are a subset of the 125, so the stage-0
     xCPE plan costs one slice instead of another full-resolution merge-join."""
-    assert kernel_size < plan.kernel_size
-    big = kernel_offsets(plan.kernel_size)
+    # derive the source kernel from the array shape, not plan.kernel_size:
+    # plans that crossed a jit boundary (e.g. host-built stem plans passed
+    # as arguments) carry kernel_size as a traced scalar
+    big_k = round(plan.neighbor_index.shape[1] ** (1 / 3))
+    assert kernel_size < big_k
+    big = kernel_offsets(big_k)
     idx = [big.index(off) for off in kernel_offsets(kernel_size)]
     import numpy as _np
 
