@@ -211,9 +211,33 @@ class Trainer(TrainerBase):
 
         # input shardings come from device_put placement in run_step (batch
         # arrays sharded over 'data', scalars/state replicated)
-        self._jit_step = jax.jit(self._make_step(), donate_argnums=(0,))
+        if cfg.get("aot_cache"):
+            # opt-in on-disk executable cache (utils/aot_cache.py): the
+            # Pallas-bearing train step is never persist-cached by the
+            # tunneled TPU runtime (~25 min recompile per process at
+            # flagship 32k); serialize_executable reuse makes it one-time.
+            # One executable per input-shape signature (bucketed collate).
+            self._raw_step = self._make_step()
+            self._aot_execs = {}
+            self._jit_step = self._aot_step
+        else:
+            self._jit_step = jax.jit(self._make_step(), donate_argnums=(0,))
         self._geom_builder = self._make_geom_builder()
         self.register_hooks(cfg.get("hooks"))
+
+    def _aot_step(self, *args):
+        from scenesplat_tpu.utils.aot_cache import cache_key, compile_cached
+
+        key = cache_key("train-step", args, {})
+        exe = self._aot_execs.get(key)
+        if exe is None:
+            exe = compile_cached(
+                self._raw_step, *args,
+                name="train-step", extra_key=str(self.cfg.get("name", "")),
+                donate_argnums=(0,),
+            )
+            self._aot_execs[key] = exe
+        return exe(*args)
 
     def _make_geom_builder(self):
         """Staged geometry-outside-the-step builder (cfg.split_geometry).

@@ -229,6 +229,7 @@ class SerializedAttention(nn.Module):
                 num_heads=h,
                 scale=scale,
                 use_pallas=self.use_pallas,
+                upcast_softmax=self.upcast_softmax,
             )
         out = take_along_points(out_sorted, inverse)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)

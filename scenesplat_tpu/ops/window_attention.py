@@ -115,6 +115,7 @@ def window_attention_reference(
     num_heads: int,
     scale: float | None = None,
     patch_chunk: int = 8,
+    upcast_softmax: bool = True,
 ) -> jnp.ndarray:
     """Block-diagonal attention over serialized patches (jnp reference).
 
@@ -130,6 +131,9 @@ def window_attention_reference(
     if scale is None:
         scale = d**-0.5
     p = n // patch_size
+    # never pad past the real patch count (at 4k points / patch 1024 the
+    # default chunk of 8 would make half the score tensor padding)
+    patch_chunk = max(1, min(patch_chunk, p))
 
     qkv = qkv_sorted.reshape(b, p, patch_size, 3, h, d)
     valid = valid_sorted.reshape(b, p, patch_size)
@@ -150,7 +154,7 @@ def window_attention_reference(
     def step(_, xs):
         qkv_c, valid_c = xs  # [B, chunk, K, 3, H, D], [B, chunk, K]
         q, k, v = qkv_c[..., 0, :, :], qkv_c[..., 1, :, :], qkv_c[..., 2, :, :]
-        out = _patch_attention(q, k, v, valid_c, scale)
+        out = _patch_attention(q, k, v, valid_c, scale, upcast_softmax)
         return None, out
 
     _, out = jax.lax.scan(
@@ -188,8 +192,14 @@ def window_attention(
     num_heads: int,
     scale: float | None = None,
     use_pallas: bool | None = None,
+    upcast_softmax: bool = True,
 ) -> jnp.ndarray:
-    """Dispatch to the Pallas flash-window kernel on TPU, else the jnp path."""
+    """Dispatch to the Pallas flash-window kernel on TPU, else the jnp path.
+
+    ``upcast_softmax`` only affects the jnp path (reference
+    point_transformer_v3m1_base.py:161: softmax in the attention dtype when
+    False); the Pallas kernel keeps its running max/sum statistics in fp32
+    regardless, flash-attention style."""
     c = qkv_sorted.shape[-1]
     # Head padding defaults ON: measured on v5e (WINDOW_LOG 2026-08-20) the
     # padded flagship kernel compiles in 12.3 s fwd / 36.7 s bwd vs 814 s
@@ -244,7 +254,8 @@ def window_attention(
             qkv_sorted, valid_sorted, patch_size, num_heads, scale
         )
     return window_attention_reference(
-        qkv_sorted, valid_sorted, patch_size, num_heads, scale
+        qkv_sorted, valid_sorted, patch_size, num_heads, scale,
+        upcast_softmax=upcast_softmax,
     )
 
 
