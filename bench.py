@@ -139,7 +139,10 @@ def main(n_points: int = 131072, batch: int = 1, iters: int = 10, warmup: int = 
         if os.environ.get("SCENESPLAT_BENCH_STAGED") is not None:
             staged = os.environ["SCENESPLAT_BENCH_STAGED"] == "1"
         else:
-            staged = batch * n_points >= 65536
+            # with host-built stem plans the fused program compiles and WINS
+            # at 65k (252.6k vs 216.5k staged, 2026-08-21); at 131k the
+            # fused compile ran >40 min on the helper — staged above 65k
+            staged = batch * n_points > 65536
     if not staged:
         variables = jax.jit(
             lambda p: model.init(

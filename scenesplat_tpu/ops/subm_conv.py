@@ -287,13 +287,34 @@ def subm_conv_apply(
 ) -> jnp.ndarray:
     """feat [B, N, Cin], weight [K3, Cin, Cout] -> [B, N, Cout].
 
-    Accumulates one gathered matmul per kernel offset; the Python loop unrolls
-    at trace time and XLA pipelines gather+matmul pairs. (A single wide
-    [N, K3*Cin] gather+matmul was tried and compiles pathologically slowly on
-    the TPU toolchain.)
+    Default: 27x unrolled gather+matmul accumulate. A single-fused-gather +
+    k-batched-einsum form won the ISOLATED dec0 microbench (8.67 vs
+    12.08 ms, probe_conv_variants 2026-08-21) but LOSES in the whole model
+    (251-254k vs 265.5k g/s fwd @32k, even gated to wide-channel k=3) —
+    XLA's scheduling of the big [B,K3,N,C] gather differs in context. Kept
+    behind SCENESPLAT_CONV_APPLY=fused for future adjudication. (A single
+    wide [N, K3*Cin] gather + one flat matmul — a THIRD form — compiles
+    pathologically on this toolchain.)
     """
     k3 = weight.shape[0]
     assert k3 == plan.neighbor_index.shape[1]
+    if os.environ.get("SCENESPLAT_CONV_APPLY") == "fused":
+        b, n = feat.shape[:2]
+        flat = feat.reshape((b * n,) + feat.shape[2:])
+        base = jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1), 0) * n
+        idx = jnp.where(
+            plan.neighbor_valid,
+            plan.neighbor_index.astype(jnp.int32) + base,
+            b * n,
+        )  # [B, K3, N]
+        g = jnp.take(flat, idx.reshape(-1), axis=0, mode="fill", fill_value=0)
+        g = g.reshape(b, k3, n, feat.shape[2])
+        out = jnp.einsum(
+            "bknc,kcd->bnd", g, weight, preferred_element_type=jnp.float32
+        ).astype(feat.dtype)
+        if bias is not None:
+            out = out + bias
+        return out
     out = None
     for k in range(k3):
         g = _gather_rows_masked(
