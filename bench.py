@@ -402,6 +402,10 @@ def main_train(n_points: int = 32768, batch: int = 1, iters: int = 5,
     new_state, stepval, loss0 = step_chain(state, batch_dict, g0)
     float(stepval)  # warmup
     assert np.isfinite(float(loss0))
+    # free the warmup's TrainState copy before the timed run: both copies
+    # plus the chain workspace exceeded HBM at 32k (OOM at the timed fetch,
+    # 2026-08-21)
+    del new_state, stepval, loss0
 
     floor = _noop_floor()
     t0 = time.perf_counter()

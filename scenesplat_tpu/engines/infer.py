@@ -166,9 +166,25 @@ class FeatureExtractor:
         if self._split(bucket):
             import jax.numpy as jnp
 
+            from scenesplat_tpu import native
+            from scenesplat_tpu.models.ptv3 import stem_plan_from_batch
+
             c, f, gc, m = (jnp.asarray(a) for a in args)
-            geometry = self._geom_backbone.build_geometry_staged(
-                PointBatch(coord=c, feat=f, grid_coord=gc, mask=m)
+            # stem k=5 plan on the HOST (native subm_dense_plan == the
+            # device builder; extent = the serialization-depth coordinate
+            # bound when no static dense_extent is configured) — the k=5
+            # build is the dominant device-geometry cost at test-fragment
+            # sizes and is a pure function of grid_coord
+            bb = self._geom_backbone
+            ext = tuple(bb.dense_extent) if bb.dense_extent else (
+                (1 << bb.serialization_depth),) * 3
+            nbr, val = native.subm_dense_plan(args[2][0], mask, 5, ext)
+            stem_plan = stem_plan_from_batch(
+                {"stem_nbr": nbr[None], "stem_valid": val[None]}
+            )
+            geometry = bb.build_geometry_staged(
+                PointBatch(coord=c, feat=f, grid_coord=gc, mask=m),
+                stem_plan=stem_plan,
             )
             out = self._fn(bucket)(variables, c, f, gc, m, geometry)
         elif cls_token is not None:
