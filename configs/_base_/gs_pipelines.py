@@ -37,8 +37,13 @@ def _geo_photo_augs(jitter_clip=0.01):
 
 
 def lang_train_transform(grid_sample_keys, feat_keys=GS_FEAT_KEYS,
-                         point_max=192000, grid_size=0.02):
-    """VL-pretraining train pipeline (reference config l.125-172)."""
+                         point_max=192000, grid_size=0.02,
+                         host_plan_extent=(1024, 1024, 1024)):
+    """VL-pretraining train pipeline (reference config l.125-172).
+
+    ``host_plan_extent``: HostConvPlan builds the stem k=5 conv plan in the
+    loader workers (default extent = the serialization_depth=10 coordinate
+    bound); None disables it and the trainer builds the plan on device."""
     return _geo_photo_augs() + [
         dict(type="GridSample", grid_size=grid_size, hash_type="fnv",
              mode="train", keys=grid_sample_keys, return_grid_coord=True),
@@ -50,7 +55,10 @@ def lang_train_transform(grid_sample_keys, feat_keys=GS_FEAT_KEYS,
              keys=("coord", "grid_coord", "segment", "lang_feat",
                    "valid_feat_mask"),
              feat_keys=feat_keys),
-    ]
+    ] + (
+        [dict(type="HostConvPlan", kernel_size=5, extent=host_plan_extent)]
+        if host_plan_extent else []
+    )
 
 
 def lang_val_transform(grid_sample_keys, feat_keys=GS_FEAT_KEYS,
