@@ -528,11 +528,18 @@ def _orchestrate(kind: str):
         ]
         upgrades = []
     else:
+        # Rung 1 is the DEFAULT env (hybrid pad64 Pallas + masked-exp +
+        # host stem plan): since r5 it is both the fastest measured config
+        # (265.5k vs 240.4k no-pallas @32k) and the one whose programs are
+        # warm in the tunnel cache. no-pallas is the fallback for Mosaic
+        # regressions, not the opener (r4's rationale — an 814 s cold
+        # Mosaic compile — died with head-padding).
         ladder = [
+            (["--worker", "fwd", "32768"], None, 1200.0),
             (["--worker", "fwd", "32768"], no_pallas, 900.0),
             (["--worker", "fwd", "16384"], no_pallas, 900.0),
         ]
-        upgrades = [(["--worker", "fwd", "32768"], pad64, 1200.0)]
+        upgrades = []
     last_err = "no attempt had enough budget"
     for args, extra_env, cap in ladder:
         remaining = budget - (time.monotonic() - t0) - 15
