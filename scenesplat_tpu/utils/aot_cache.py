@@ -46,6 +46,32 @@ def _sig_of(args, kwargs):
     return "|".join(parts)
 
 
+_REPO_FP = None
+
+
+def repo_fingerprint() -> str:
+    """Code-version component of the cache key: a stale executable from an
+    edited model would otherwise load silently (keys hash shapes, not
+    code). Hashes the CONTENT of every .py in the package (~10 ms once per
+    process) so docs/config-only commits keep the cache warm while any
+    source edit invalidates it."""
+    global _REPO_FP
+    if _REPO_FP is not None:
+        return _REPO_FP
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for dirpath, dirnames, files in sorted(os.walk(pkg)):
+        dirnames.sort()
+        for f in sorted(files):
+            if f.endswith(".py"):
+                path = os.path.join(dirpath, f)
+                h.update(os.path.relpath(path, pkg).encode())
+                with open(path, "rb") as fh:
+                    h.update(fh.read())
+    _REPO_FP = h.hexdigest()[:16]
+    return _REPO_FP
+
+
 def cache_key(name: str, args, kwargs, extra: str = "") -> str:
     raw = "|".join(
         [
@@ -53,6 +79,7 @@ def cache_key(name: str, args, kwargs, extra: str = "") -> str:
             jax.__version__,
             jax.default_backend(),
             str(jax.device_count()),
+            repo_fingerprint(),
             extra,
             _sig_of(args, kwargs),
         ]
