@@ -522,9 +522,12 @@ def _orchestrate(kind: str):
         # the FULL compile every cold run (~20 min measured) — and killing
         # the client mid-compile leaves an orphan serializing the helper
         # (CLAUDE.md). Size the cap to completion.
+        # fallback rung: no-pallas NEEDS masked-exp off — the jnp dec0
+        # attention bwd residuals put the 16k step 351 MB over HBM with it
         ladder = [
             (["--worker", "train", "32768"], None, 2400.0),
-            (["--worker", "train", "16384"], no_pallas, 900.0),
+            (["--worker", "train", "16384"],
+             dict(no_pallas, SCENESPLAT_MASKED_EXP="0"), 900.0),
         ]
         upgrades = []
     else:
@@ -596,9 +599,12 @@ def _orchestrate(kind: str):
             if kind == "fwd":
                 remaining = budget - (time.monotonic() - t0) - 15
                 if remaining >= 300:
+                    # default env (hybrid Pallas): memory-light — the
+                    # all-jnp dec0 attention bwd OOMs even at 16k with
+                    # masked-exp residuals (16.09/15.75G, 2026-08-21)
                     tobj, terr = _run_worker(
                         ["--worker", "train", "16384"],
-                        timeout=min(900.0, remaining), extra_env=no_pallas,
+                        timeout=min(900.0, remaining), extra_env=None,
                     )
                     if tobj is not None:
                         obj["train"] = tobj["value"]

@@ -73,6 +73,14 @@ def repo_fingerprint() -> str:
 
 
 def cache_key(name: str, args, kwargs, extra: str = "") -> str:
+    # SCENESPLAT_* envs steer tracing (masked-exp, pallas dispatch, conv
+    # form, ...) — two processes with different envs trace different
+    # programs for identical shapes, so the env snapshot is part of the key
+    env = ",".join(
+        f"{k}={v}" for k, v in sorted(os.environ.items())
+        if k.startswith("SCENESPLAT_")
+        and k not in ("SCENESPLAT_AOT_CACHE", "SCENESPLAT_NO_AOT_CACHE")
+    )
     raw = "|".join(
         [
             name,
@@ -80,6 +88,7 @@ def cache_key(name: str, args, kwargs, extra: str = "") -> str:
             jax.default_backend(),
             str(jax.device_count()),
             repo_fingerprint(),
+            env,
             extra,
             _sig_of(args, kwargs),
         ]
