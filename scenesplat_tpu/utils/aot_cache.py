@@ -68,6 +68,14 @@ def repo_fingerprint() -> str:
                 h.update(os.path.relpath(path, pkg).encode())
                 with open(path, "rb") as fh:
                     h.update(fh.read())
+    # repo-root entry points define traced code too (bench.py's chains)
+    root = os.path.dirname(pkg)
+    for f in ("bench.py", "__graft_entry__.py"):
+        path = os.path.join(root, f)
+        if os.path.exists(path):
+            h.update(f.encode())
+            with open(path, "rb") as fh:
+                h.update(fh.read())
     _REPO_FP = h.hexdigest()[:16]
     return _REPO_FP
 
