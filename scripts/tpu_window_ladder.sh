@@ -66,26 +66,15 @@ fi
 # --- Priority ladder -------------------------------------------------------
 # 1-2. The driver-scoreboard numbers, before anything else.
 run_item bench_fwd   2400 python bench.py
-run_item bench_train 2400 python bench.py train
-# 3. The ~160 ms/fwd diagnosis gap (TPU_TODO 3).
-run_item probe_gap 2400 python probe_gap.py
-# 4. Plan-builder shoot-out: hash vs dense vs join (TPU_TODO 13).
-run_item probe_hash 2400 python probe_hash_tpu.py 32768
-# 5. Radix vs 2-key sort (TPU_TODO 10).
+run_item bench_train 3600 python bench.py train
+# 3. Radix vs 2-key sort (TPU_TODO r5 item 1).
 run_item probe_radix 1800 python probe_radix_tpu.py
-# 6. Conv apply variants (TPU_TODO 2).
-run_item probe_conv 2400 python probe_conv_variants.py
-# 7. Component breakdown refresh (TPU_TODO 4).
-run_item probe_net 1800 python probe_net.py
-# 8. Masked-exp attention A/B (TPU_TODO 7).
-run_item probe_maskexp 1800 env SCENESPLAT_MASKED_EXP=1 SCENESPLAT_NO_PALLAS_ATTN=1 \
-    python probe_net.py attn
-# 9. Outdoor join-path flagship (TPU_TODO 11).
+# 4. Outdoor end-to-end, hash vs join (TPU_TODO r5 item 2).
 run_item probe_outdoor 2400 python probe_outdoor.py 32768
-# 10. AOT executable serialization (kills per-process Mosaic recompiles if
-#     it works; cheap: one small kernel compile).
-run_item probe_aot 1200 python probe_aot_tpu.py
-# 11. Pallas attention kernel (compile-heavy; LAST: can eat a whole window).
+# 5. Pallas attention bwd tile A/B (TPU_TODO r5 item 3): bigger query
+#    stripes at pad64's cheap Cg=128.
+run_item probe_attn_bwd 3000 env SCENESPLAT_ATTN_BWD_TILE=1024 python probe_attn_tpu.py
+# 6. Pallas attention kernel baseline (compile-heavy; LAST).
 run_item probe_attn 3000 python probe_attn_tpu.py
 
 note "ladder complete"
